@@ -1,0 +1,814 @@
+"""Phase: one trajectory segment of a multi-phase optimal control problem.
+
+API mirrors the reference ``PhaseBase`` (``/root/reference/pockit/base/
+phasebase.py:38-2306``): symbolic declaration of dynamics, integrals, path
+constraints, boundary conditions and the collocation mesh, plus error
+estimation and hp-adaptive mesh refinement.
+
+Architectural difference from the reference: no AutoUpdate dependency DAG
+and no per-setter kernel compilation. Expressions are lowered to jax
+callables immediately (cheap); all derivative machinery lives in
+``pockit_tpu.transcription`` via JAX tracing, and recompilation is handled
+by XLA's jit cache keyed on the static mesh data.
+"""
+
+from __future__ import annotations
+
+import itertools as it
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import sympy as sp
+
+from pockit_tpu.base.bc import BcInfo, BcType, parse_boundary_condition
+from pockit_tpu.base.discretization import Discretization
+from pockit_tpu.base.expr import LoweredFunc
+
+
+class PhaseBase:
+    """A phase is a lower-level objective of a multiple-phase optimal control
+    problem."""
+
+    _family: str = ""  # set by scheme subclasses ('lobatto' / 'radau')
+
+    def __init__(
+        self,
+        identifier: int,
+        state: int | list[str],
+        control: int | list[str],
+        symbol_static_parameter: list[sp.Symbol],
+        simplify: bool = False,
+        fastmath: bool = False,
+    ) -> None:
+        """``simplify`` / ``fastmath`` are accepted for API parity with the
+        reference but are no-ops: XLA owns simplification and fast-math."""
+        self._identifier = identifier
+
+        if isinstance(state, int):
+            self._num_state = state
+            self._name_state = [f"x_{i}^{{({identifier})}}" for i in range(state)]
+        elif isinstance(state, list):
+            if "t" in state:
+                raise ValueError(
+                    'Symbol "t" is reserved for time. '
+                    "Use a different name for state variables"
+                )
+            self._name_state = [s + f"^{{({identifier})}}" for s in state]
+            self._num_state = len(state)
+        else:
+            raise ValueError("state must be int or list of str")
+
+        if isinstance(control, int):
+            self._num_control = control
+            self._name_control = [f"u_{i}^{{({identifier})}}" for i in range(control)]
+        elif isinstance(control, list):
+            if "t" in control:
+                raise ValueError(
+                    'Symbol "t" is reserved for time. '
+                    "Use a different name for control variables"
+                )
+            self._name_control = [c + f"^{{({identifier})}}" for c in control]
+            self._num_control = len(control)
+        else:
+            raise ValueError("control must be int or list of str")
+
+        self._num_variable = self._num_state + self._num_control
+        self._num_static_parameter = len(symbol_static_parameter)
+        self._symbol_static_parameter = list(symbol_static_parameter)
+
+        self._symbol_state = [sp.Symbol(n) for n in self._name_state]
+        self._symbol_control = [sp.Symbol(n) for n in self._name_control]
+        self._symbol_time = sp.Symbol(f"t^{{({identifier})}}")
+        self._symbols = (
+            self._symbol_state
+            + self._symbol_control
+            + [self._symbol_time]
+            + self._symbol_static_parameter
+        )
+
+        self._dynamics_set = False
+        self._boundary_condition_set = False
+        self._discretization_set = False
+        self._discontinuous_check_passed = False
+        self._object_discretization: Optional[Discretization] = None
+
+        self.set_integral([])
+        self.set_phase_constraint([], [], [])
+
+    # ------------------------------------------------------------------
+    # setters
+    # ------------------------------------------------------------------
+    def _lower(self, expr) -> LoweredFunc:
+        return LoweredFunc(expr, self._symbols)
+
+    def set_dynamics(self, dynamics: list, *, cache: Optional[str] = None):
+        """Set time derivatives of the states, composed of x, u, t, s
+        (reference: ``phasebase.py:243-273``). ``cache`` is a no-op."""
+        if len(dynamics) != self.n_x:
+            raise ValueError(
+                "the number of dynamics must be equal to the number of state variables"
+            )
+        self._expr_dynamics = [sp.sympify(d) for d in dynamics]
+        self._func_dynamics = [self._lower(d) for d in self._expr_dynamics]
+        self._dynamics_set = True
+        self._discontinuous_check_passed = False
+        return self
+
+    def set_integral(self, integral: list, *, cache: Optional[str] = None):
+        """Set the integrals of the phase; symbols ``I_i`` are generated and
+        exposed as :attr:`I` (reference: ``phasebase.py:275-309``)."""
+        self._num_integral = len(integral)
+        self._expr_integral = [sp.sympify(i) for i in integral]
+        self._func_integral = [self._lower(i) for i in self._expr_integral]
+        self._symbol_integral = [
+            sp.Symbol(f"I_{i}^{{({self._identifier})}}")
+            for i in range(self._num_integral)
+        ]
+        self._discontinuous_check_passed = False
+        return self
+
+    def set_phase_constraint(
+        self,
+        phase_constraint: list,
+        lower_bound: list,
+        upper_bound: list,
+        bang_bang_control: bool | list[bool] = False,
+        *,
+        cache: Optional[str] = None,
+    ):
+        """Set path constraints enforced over the whole phase. Plain-symbol
+        constraints become variable/time/static bounds instead of NLP rows
+        (reference: ``phasebase.py:311-418``)."""
+        phase_constraint = list(phase_constraint)
+        lower_bound = list(lower_bound)
+        upper_bound = list(upper_bound)
+        if not len(phase_constraint) == len(lower_bound) == len(upper_bound):
+            raise ValueError(
+                "phase_constraint, lower_bound and upper_bound must have the same length"
+            )
+
+        self._variable_bounds_phase = []
+        self._static_parameter_bounds_phase = []
+        self._time_bounds_phase = []
+        self._expr_phase_constraint = []
+        lbs, ubs = [], []
+        for c, lb, ub in zip(phase_constraint, lower_bound, upper_bound):
+            c = sp.sympify(c)
+            if c.is_symbol:
+                i = self._symbols.index(c)
+                if i < self._num_variable:
+                    self._variable_bounds_phase.append((i, lb, ub))
+                elif i == self._num_variable:
+                    self._time_bounds_phase.append((lb, ub))
+                else:
+                    self._static_parameter_bounds_phase.append(
+                        (i - self._num_variable - 1, lb, ub)
+                    )
+            else:
+                self._expr_phase_constraint.append(c)
+                lbs.append(lb)
+                ubs.append(ub)
+
+        self._num_phase_constraint = len(self._expr_phase_constraint)
+        self._func_phase_constraint = [
+            self._lower(c) for c in self._expr_phase_constraint
+        ]
+        self._lower_bound_phase_constraint = np.array(lbs, dtype=np.float64)
+        self._upper_bound_phase_constraint = np.array(ubs, dtype=np.float64)
+
+        # bang-bang constraints, scaled to [0, 1]
+        if isinstance(bang_bang_control, bool):
+            bang_bang_control = it.repeat(bang_bang_control)
+        self._func_bang_bang_control = []
+        for expr, lb, ub, bb in zip(
+            phase_constraint, lower_bound, upper_bound, bang_bang_control
+        ):
+            if bb:
+                if np.isinf(lb) or np.isinf(ub):
+                    raise ValueError(
+                        "lower_bound and upper_bound must be finite "
+                        "for bang-bang control constraint"
+                    )
+                if ub <= lb + 1e-10:
+                    raise ValueError(
+                        "lower_bound must be strictly less than upper_bound "
+                        "for bang-bang control constraint"
+                    )
+                self._func_bang_bang_control.append(
+                    self._lower((sp.sympify(expr) - lb) / (ub - lb))
+                )
+        self._num_bang_bang = len(self._func_bang_bang_control)
+        self._discontinuous_check_passed = False
+        return self
+
+    def set_boundary_condition(
+        self,
+        initial_value: list,
+        terminal_value: list,
+        initial_time,
+        terminal_time,
+        *,
+        cache: Optional[str] = None,
+    ):
+        """Set boundary conditions: ``None`` = free, number = fixed,
+        sympy expression of statics = FUNC (reference: ``phasebase.py:440-512``)."""
+        initial_value = list(initial_value)
+        terminal_value = list(terminal_value)
+        if not len(initial_value) == len(terminal_value) == self.n_x:
+            raise ValueError(
+                "initial_value, terminal_value must have the same length "
+                "as number of state variables"
+            )
+        self._initial_value = initial_value
+        self._terminal_value = terminal_value
+        self._initial_time = initial_time
+        self._terminal_time = terminal_time
+
+        ss = self._symbol_static_parameter
+        self.info_bc_0 = [parse_boundary_condition(b, ss) for b in initial_value]
+        self.info_bc_f = [parse_boundary_condition(b, ss) for b in terminal_value]
+        self.info_t_0 = parse_boundary_condition(initial_time, ss)
+        self.info_t_f = parse_boundary_condition(terminal_time, ss)
+
+        self._boundary_condition_set = True
+        self._discontinuous_check_passed = False
+        return self
+
+    def set_discretization(self, mesh, num_point):
+        """Set the collocation mesh; int = uniform mesh / uniform degree
+        (reference: ``phasebase.py:514-601``)."""
+        if isinstance(mesh, int):
+            self._mesh = np.linspace(0, 1, mesh + 1, endpoint=True)
+        else:
+            mesh = np.array(list(mesh), dtype=np.float64)
+            self._mesh = (mesh - mesh[0]) / (mesh[-1] - mesh[0])
+        self._num_interval = len(self._mesh) - 1
+        if isinstance(num_point, (int, np.integer)):
+            self._num_point = np.full(self._num_interval, num_point, dtype=np.int64)
+        else:
+            self._num_point = np.array(list(num_point), dtype=np.int64)
+        if len(self._num_point) != self._num_interval:
+            raise ValueError(
+                "num_point must have the same length as mesh intervals (= len(mesh) - 1)"
+            )
+        self._object_discretization = Discretization(
+            self._family, self._mesh, self._num_point, self.n_x, self.n_u
+        )
+        self._discretization_set = True
+        self._discontinuous_check_passed = False
+        return self
+
+    # ------------------------------------------------------------------
+    # host-side evaluation helpers (numpy; used by check/refine and
+    # post-processing — the device path lives in transcription/)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _value_boundary_condition(info: BcInfo, x, s):
+        if info.t == BcType.FREE:
+            return x
+        if info.t == BcType.FIXED:
+            return info.v
+        return float(np.asarray(info.v(list(s))))
+
+    def _apply_bc_host(self, x: np.ndarray, s: np.ndarray) -> np.ndarray:
+        """Substitute boundary conditions into a phase vector (host copy)."""
+        x = np.array(x, dtype=np.float64)
+        for i, info in enumerate(self.info_bc_0):
+            x[self.l_v[i]] = self._value_boundary_condition(info, x[self.l_v[i]], s)
+        for i, info in enumerate(self.info_bc_f):
+            x[self.r_v[i] - 1] = self._value_boundary_condition(
+                info, x[self.r_v[i] - 1], s
+            )
+        x[-2] = self._value_boundary_condition(self.info_t_0, x[-2], s)
+        x[-1] = self._value_boundary_condition(self.info_t_f, x[-1], s)
+        return x
+
+    def _middle_args_host(self, x: np.ndarray, s: np.ndarray, aug: bool):
+        """Evaluate-ready argument list at the (augmented) middle stage."""
+        d = self._object_discretization
+        t0, tf = x[-2], x[-1]
+        dt = tf - t0
+        t_nodes = d.t_m_aug if aug else d.t_m
+        t_phys = (t_nodes - 0.5) * dt + (tf + t0) / 2
+        args = []
+        for i in range(self.n_x):
+            xv = x[self.l_v[i] : self.r_v[i]]
+            args.append(
+                np.asarray(d.V_x_aug @ xv) if aug else np.asarray(d.state_to_mid(xv))
+            )
+        for i in range(self.n_u):
+            uv = x[self.l_v[self.n_x + i] : self.r_v[self.n_x + i]]
+            args.append(np.asarray(d.V_u_aug @ uv) if aug else uv)
+        args.append(t_phys)
+        for si in s:
+            args.append(np.full(len(t_phys), si))
+        return args, dt
+
+    def _error_estimation_data_continuous(self, x, s):
+        """Residual data on the augmented mesh (reference:
+        ``phasebase.py:1316-1327``)."""
+        d = self._object_discretization
+        x = self._apply_bc_host(x, s)
+        args, dt = self._middle_args_host(x, s, aug=True)
+        T_x = np.stack(
+            [d.T_x_aug_v @ x[self.l_v[i] : self.r_v[i]] for i in range(self.n_x)]
+        )
+        I_f = (
+            np.stack([d.I_m_aug @ np.asarray(f(args)) for f in self._func_dynamics])
+            * dt
+        )
+        return T_x, I_f
+
+    def _error_estimation_data_discontinuous(self, x, s):
+        x = self._apply_bc_host(x, s)
+        args, _ = self._middle_args_host(x, s, aug=False)
+        return np.stack([np.asarray(f(args)) for f in self._func_bang_bang_control])
+
+    def _error_check_interval_continuous(self, T_x, I_f, atol, rtol, mtol):
+        ec = np.ones(self.N, dtype=bool)
+        for i in range(self.N):
+            if self._mesh[i + 1] - self._mesh[i] < mtol:
+                continue
+            l, r = self.l_m_aug[i], self.r_m_aug[i]
+            ec[i] = np.allclose(T_x[:, l:r], I_f[:, l:r], atol=atol, rtol=rtol)
+        return ec
+
+    def _error_check_interval_discontinuous(self, f_bb, dtol, mtol):
+        ec = np.ones(self.N, dtype=bool)
+        for i in range(self.N):
+            if self._mesh[i + 1] - self._mesh[i] < mtol:
+                continue
+            for b in range(self.n_b):
+                seg = f_bb[b, self.l_m[i] : self.r_m[i]]
+                ec[i] = ec[i] and (np.all(seg < dtol) or np.all(seg > 1 - dtol))
+        return ec
+
+    # ------------------------------------------------------------------
+    # check / refine (reference: ``phasebase.py:1362-1891``)
+    # ------------------------------------------------------------------
+    def check_continuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        absolute_tolerance_continuous: float = 1e-8,
+        relative_tolerance_continuous: float = 1e-8,
+        tolerance_mesh: float = 1e-4,
+    ) -> bool:
+        """Check the collocation-residual (continuous) error."""
+        s = self._require_static(static_parameter)
+        T_x, I_f = self._error_estimation_data_continuous(variable.data, s)
+        ec = self._error_check_interval_continuous(
+            T_x,
+            I_f,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            tolerance_mesh,
+        )
+        return bool(np.all(ec))
+
+    def check_discontinuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        tolerance_discontinuous: float = 1e-3,
+        tolerance_mesh: float = 1e-4,
+    ) -> bool:
+        """Check the bang-bang saturation (discontinuous) error."""
+        s = self._require_static(static_parameter)
+        f_bb = self._error_estimation_data_discontinuous(variable.data, s)
+        ec = self._error_check_interval_discontinuous(
+            f_bb, tolerance_discontinuous, tolerance_mesh
+        )
+        passed = bool(np.all(ec))
+        if passed:
+            self._discontinuous_check_passed = True
+        return passed
+
+    def check(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        absolute_tolerance_continuous: float = 1e-8,
+        relative_tolerance_continuous: float = 1e-8,
+        tolerance_discontinuous: float = 1e-3,
+        tolerance_mesh: float = 1e-4,
+    ) -> bool:
+        """Check both error measures (reference: ``phasebase.py:1437-1481``)."""
+        if self._discontinuous_check_passed:
+            return self.check_continuous(
+                variable,
+                static_parameter,
+                absolute_tolerance_continuous,
+                relative_tolerance_continuous,
+                tolerance_mesh,
+            )
+        return self.check_discontinuous(
+            variable, static_parameter, tolerance_discontinuous, tolerance_mesh
+        ) and self.check_continuous(
+            variable,
+            static_parameter,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            tolerance_mesh,
+        )
+
+    def _require_static(self, static_parameter):
+        if self._num_static_parameter and static_parameter is None:
+            raise ValueError(
+                "phase has static parameters, but the value of static "
+                "parameters is not given"
+            )
+        if static_parameter is None:
+            static_parameter = []
+        return np.array(list(static_parameter), dtype=np.float64)
+
+    def refine_continuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        absolute_tolerance_continuous: float = 1e-8,
+        relative_tolerance_continuous: float = 1e-8,
+        num_point_min: int = 6,
+        num_point_max: int = 12,
+        mesh_length_min: float = 1e-3,
+        mesh_length_max: float = 1.0,
+    ) -> None:
+        """hp-refinement: raise degree while it fits, else split the interval
+        (reference: ``phasebase.py:1483-1578``)."""
+        if self.check_continuous(
+            variable,
+            static_parameter,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            mesh_length_min,
+        ):
+            return
+        s = self._require_static(static_parameter)
+        T_x, I_f = self._error_estimation_data_continuous(variable.data, s)
+        ec = self._error_check_interval_continuous(
+            T_x,
+            I_f,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            mesh_length_min,
+        )
+
+        mesh_new: list[float] = []
+        num_point_new: list[int] = []
+        for i in range(self.N):
+            if ec[i]:
+                mesh_new.append(self._mesh[i])
+                num_point_new.append(int(self._num_point[i]))
+                continue
+            l, r = self.l_m_aug[i], self.r_m_aug[i]
+            abs_err = np.abs(T_x[:, l:r] - I_f[:, l:r])
+            I_f_max = np.max(np.abs(I_f[:, l:r]), axis=1).reshape(-1, 1)
+            rel_err_max = np.max(abs_err / (1.0 + I_f_max))
+            num_new = max(
+                int(
+                    np.ceil(
+                        np.log(rel_err_max / relative_tolerance_continuous)
+                        / np.log(self._num_point[i])
+                    )
+                ),
+                1,
+            )
+            if self._num_point[i] + num_new <= num_point_max:
+                mesh_new.append(self._mesh[i])
+                num_point_new.append(int(self._num_point[i]) + num_new)
+            else:  # h-refine: split into subintervals of minimum degree
+                width = self._mesh[i + 1] - self._mesh[i]
+                n_itv_min = int(np.ceil(width / mesh_length_max))
+                n_itv_max = max(int(np.floor(width / mesh_length_min)), 1)
+                n_itv = max(
+                    int(np.ceil((self._num_point[i] + num_new) / num_point_min)), 2
+                )
+                n_itv = max(min(n_itv, n_itv_max), n_itv_min)
+                for m_ in np.linspace(
+                    self._mesh[i], self._mesh[i + 1], n_itv, endpoint=False
+                ):
+                    mesh_new.append(m_)
+                    num_point_new.append(num_point_min)
+        mesh_new.append(1.0)
+
+        passed = self._discontinuous_check_passed
+        self.set_discretization(mesh_new, num_point_new)
+        self._discontinuous_check_passed = passed
+
+    def refine_discontinuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        tolerance_discontinuous: float = 1e-3,
+        num_point_min: int = 6,
+        num_point_max: int = 12,
+        mesh_length_min: float = 1e-3,
+        mesh_length_max: float = 1.0,
+    ) -> None:
+        """Bang-bang refinement: place mesh points on control switch times
+        found as polynomial roots (reference: ``phasebase.py:1580-1828``)."""
+        if self.check_discontinuous(
+            variable, static_parameter, tolerance_discontinuous, mesh_length_min
+        ):
+            return
+        from pockit_tpu.base.refine_discontinuous import refine_discontinuous_mesh
+
+        s = self._require_static(static_parameter)
+        f_bb = self._error_estimation_data_discontinuous(variable.data, s)
+        mesh_new, num_point_new = refine_discontinuous_mesh(
+            self,
+            f_bb,
+            tolerance_discontinuous,
+            num_point_min,
+            num_point_max,
+            mesh_length_min,
+            mesh_length_max,
+        )
+        self.set_discretization(mesh_new, num_point_new)
+
+    def refine(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        absolute_tolerance_continuous: float = 1e-8,
+        relative_tolerance_continuous: float = 1e-8,
+        tolerance_discontinuous: float = 1e-3,
+        num_point_min: int = 6,
+        num_point_max: int = 12,
+        mesh_length_min: float = 1e-3,
+        mesh_length_max: float = 1.0,
+    ) -> None:
+        """Discontinuous refinement first; else continuous; at most one
+        (reference: ``phasebase.py:1830-1891``)."""
+        if not self._discontinuous_check_passed and not self.check_discontinuous(
+            variable, static_parameter, tolerance_discontinuous, mesh_length_min
+        ):
+            self.refine_discontinuous(
+                variable,
+                static_parameter,
+                tolerance_discontinuous,
+                num_point_min,
+                num_point_max,
+                mesh_length_min,
+                mesh_length_max,
+            )
+        elif not self.check_continuous(
+            variable,
+            static_parameter,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            mesh_length_min,
+        ):
+            self.refine_continuous(
+                variable,
+                static_parameter,
+                absolute_tolerance_continuous,
+                relative_tolerance_continuous,
+                num_point_min,
+                num_point_max,
+                mesh_length_min,
+                mesh_length_max,
+            )
+
+    # ------------------------------------------------------------------
+    # properties (reference: ``phasebase.py:1893-2238``)
+    # ------------------------------------------------------------------
+    @property
+    def n_x(self) -> int:
+        """Number of state variables."""
+        return self._num_state
+
+    @property
+    def x(self) -> list[sp.Symbol]:
+        """Symbols of state variables."""
+        return self._symbol_state
+
+    @property
+    def n_u(self) -> int:
+        """Number of control variables."""
+        return self._num_control
+
+    @property
+    def u(self) -> list[sp.Symbol]:
+        """Symbols of control variables."""
+        return self._symbol_control
+
+    @property
+    def n(self) -> int:
+        """Number of state and control variables."""
+        return self._num_variable
+
+    @property
+    def n_s(self) -> int:
+        """Number of static parameters."""
+        return self._num_static_parameter
+
+    @property
+    def s(self) -> list[sp.Symbol]:
+        """Symbols of static parameters."""
+        return self._symbol_static_parameter
+
+    @property
+    def t(self) -> sp.Symbol:
+        """The symbol representing time."""
+        return self._symbol_time
+
+    @property
+    def F_d(self) -> list[LoweredFunc]:
+        """Lowered dynamics functions."""
+        return self._func_dynamics
+
+    @property
+    def n_d(self) -> int:
+        return self._num_state
+
+    @property
+    def F_I(self) -> list[LoweredFunc]:
+        """Lowered integrand functions."""
+        return self._func_integral
+
+    @property
+    def n_I(self) -> int:
+        return self._num_integral
+
+    @property
+    def I(self) -> list[sp.Symbol]:
+        """Symbols of the integrals."""
+        return self._symbol_integral
+
+    @property
+    def F_c(self) -> list[LoweredFunc]:
+        """Lowered path-constraint functions."""
+        return self._func_phase_constraint
+
+    @property
+    def n_c(self) -> int:
+        return self._num_phase_constraint
+
+    @property
+    def F_b(self) -> list[LoweredFunc]:
+        """Lowered bang-bang constraint functions (scaled to [0, 1])."""
+        return self._func_bang_bang_control
+
+    @property
+    def n_b(self) -> int:
+        return self._num_bang_bang
+
+    @property
+    def v_lb(self) -> np.ndarray:
+        """Lower bounds of the phase's optimization variables
+        (reference: ``phasebase.py:603-630``)."""
+        lb = np.full(self.L, -np.inf)
+        for i, b, _ in self._variable_bounds_phase:
+            lb[self.l_v[i] : self.r_v[i]] = np.maximum(lb[self.l_v[i] : self.r_v[i]], b)
+        for b, _ in self._time_bounds_phase:
+            lb[-2] = np.maximum(lb[-2], b)
+            lb[-1] = np.maximum(lb[-1], b)
+        return lb
+
+    @property
+    def v_ub(self) -> np.ndarray:
+        """Upper bounds of the phase's optimization variables."""
+        ub = np.full(self.L, np.inf)
+        for i, _, b in self._variable_bounds_phase:
+            ub[self.l_v[i] : self.r_v[i]] = np.minimum(ub[self.l_v[i] : self.r_v[i]], b)
+        for _, b in self._time_bounds_phase:
+            ub[-2] = np.minimum(ub[-2], b)
+            ub[-1] = np.minimum(ub[-1], b)
+        return ub
+
+    @property
+    def c_lb(self) -> np.ndarray:
+        return self._lower_bound_phase_constraint
+
+    @property
+    def c_ub(self) -> np.ndarray:
+        return self._upper_bound_phase_constraint
+
+    @property
+    def s_b(self) -> list[tuple[int, float, float]]:
+        """Static-parameter bounds collected from plain-symbol constraints."""
+        return self._static_parameter_bounds_phase
+
+    @property
+    def bc_0(self):
+        return self._initial_value
+
+    @property
+    def bc_f(self):
+        return self._terminal_value
+
+    @property
+    def t_0(self):
+        return self._initial_time
+
+    @property
+    def t_f(self):
+        return self._terminal_time
+
+    @property
+    def N(self) -> int:
+        """Number of subintervals."""
+        return self._num_interval
+
+    @property
+    def ok(self) -> bool:
+        """Whether the phase is fully configured."""
+        return (
+            self._dynamics_set
+            and self._boundary_condition_set
+            and self._discretization_set
+        )
+
+    @property
+    def d(self) -> Discretization:
+        """The static discretization data of this phase."""
+        return self._object_discretization
+
+    # layout delegations
+    @property
+    def l_v(self):
+        return self.d.l_v
+
+    @property
+    def r_v(self):
+        return self.d.r_v
+
+    @property
+    def t_m(self):
+        return self.d.t_m
+
+    @property
+    def w_m(self):
+        return self.d.w_m
+
+    @property
+    def l_m(self):
+        return self.d.l_m
+
+    @property
+    def r_m(self):
+        return self.d.r_m
+
+    @property
+    def L_m(self):
+        return self.d.L_m
+
+    @property
+    def l_m_aug(self):
+        return self.d.l_m_aug
+
+    @property
+    def r_m_aug(self):
+        return self.d.r_m_aug
+
+    @property
+    def L_m_aug(self):
+        return self.d.L_m_aug
+
+    @property
+    def t_x(self):
+        return self.d.t_x
+
+    @property
+    def t_u(self):
+        return self.d.t_u
+
+    @property
+    def l_x(self):
+        return self.d.l_x
+
+    @property
+    def r_x(self):
+        return self.d.r_x
+
+    @property
+    def l_u(self):
+        return self.d.l_u
+
+    @property
+    def r_u(self):
+        return self.d.r_u
+
+    @property
+    def l_d(self):
+        return self.d.l_d
+
+    @property
+    def r_d(self):
+        return self.d.r_d
+
+    @property
+    def L_x(self) -> int:
+        """Length of all state variables."""
+        return int(self.r_v[self.n_x - 1]) if self.n_x else 0
+
+    @property
+    def L_xu(self) -> int:
+        """Length of all state and control variables."""
+        return self.d.L_xu
+
+    @property
+    def L(self) -> int:
+        """Length of the phase vector (variables + t_0, t_f)."""
+        return self.d.L

@@ -1,0 +1,143 @@
+"""Native interior-point solve of a configured system (the TPU replacement
+for the reference's IPOPT adapter, ``/root/reference/pockit/optimizer/
+ipopt.py:11-61``).
+
+``solve`` mirrors the reference's calling convention:
+
+    [var_phase, var_static], info = ipm.solve(system, [guess_phase, guess_s])
+
+``info`` carries ``status`` / ``status_msg`` / ``obj_val`` keys compatible
+with scripts written against the reference's cyipopt output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pockit_tpu.base.system import SystemBase
+from pockit_tpu.base.variable import VariableBase
+from pockit_tpu.optimizer._common import postprocess, preprocess
+from pockit_tpu.solver import Bounds, IPOptions, make_ip_solver
+
+_STATUS_MSG = {
+    0: b"Solve Succeeded (KKT error below tolerance).",
+    1: b"Maximum number of iterations reached.",
+    2: b"Iterates diverged.",
+}
+
+
+def default_options(dtype=None) -> IPOptions:
+    """Tolerance-scaled default options: 1e-8 in float64, 2e-5 in float32."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if jnp.dtype(dtype) == jnp.float64:
+        return IPOptions(tol=1e-8)
+    return IPOptions(tol=2e-5)
+
+
+def _solver_for(system: SystemBase, options: Optional[IPOptions]):
+    compiled = system.compiled
+    if options is None:
+        options = default_options()
+    solve_fn = make_ip_solver(
+        compiled.objective_fn, compiled.constraints_fn, compiled.L, compiled.m, options
+    )
+    bounds = Bounds(
+        jnp.asarray(compiled.z_lb),
+        jnp.asarray(compiled.z_ub),
+        jnp.asarray(compiled.c_lb),
+        jnp.asarray(compiled.c_ub),
+    )
+    return compiled, solve_fn, bounds
+
+
+def solve(
+    system: SystemBase,
+    guess,
+    optimizer_options: Optional[IPOptions] = None,
+):
+    """Solve the system with the native interior-point method.
+
+    Args:
+        system: fully configured ``System``.
+        guess: a single ``Variable`` (one phase, no statics) or a list of
+            per-phase ``Variable`` s followed by the static-parameter array.
+        optimizer_options: an :class:`IPOptions`; ``None`` uses
+            dtype-appropriate defaults.
+
+    Returns:
+        ``(result, info)`` where ``result`` matches the shape of ``guess``
+        and ``info`` is a dict with ``status``, ``status_msg``, ``obj_val``,
+        ``iterations``, ``kkt_error``, ``mult_c`` (constraint multipliers).
+    """
+    x_0, guess_is_variable = preprocess(system, guess)
+    compiled, solve_fn, bounds = _solver_for(system, optimizer_options)
+
+    rt = compiled.default_runtime()
+    result = jax.jit(solve_fn)(jnp.asarray(x_0), bounds, rt)
+
+    x = np.asarray(result.z, dtype=np.float64)
+    if guess_is_variable:
+        Variable = type(guess)
+    else:
+        Variable = type(guess[0])
+    out = postprocess(Variable, system, x, guess_is_variable)
+
+    info = {
+        "status": int(result.status),
+        "status_msg": _STATUS_MSG.get(int(result.status), b"Unknown."),
+        "obj_val": float(result.obj),
+        "iterations": int(result.iterations),
+        "kkt_error": float(result.kkt_error),
+        "mu": float(result.mu),
+        "mult_c": np.asarray(result.y),
+        "x": x,
+    }
+    return out, info
+
+
+def solve_batch(
+    system: SystemBase,
+    guess_batch: np.ndarray,
+    bc_overrides=None,
+    optimizer_options: Optional[IPOptions] = None,
+    bounds_override: Optional[Bounds] = None,
+):
+    """Solve a batch of instances of the same discretized system via vmap.
+
+    All instances share the NLP *structure* (mesh, constraint pattern);
+    per-instance data varies through the initial guesses, the FIXED
+    boundary-condition values, and optionally the bounds.
+
+    Args:
+        system: fully configured ``System``.
+        guess_batch: (B, L) array of flat initial vectors (build one with
+            ``preprocess`` / ``Variable.data`` and tile).
+        bc_overrides: optional tuple (one per phase) of (B, n_fixed) arrays
+            of FIXED boundary values, replacing the configured ones.
+        optimizer_options: solver options shared by the batch.
+        bounds_override: optional ``Bounds`` with leading batch dimensions.
+
+    Returns:
+        A batched :class:`IPResult` (fields have a leading batch axis).
+    """
+    compiled, solve_fn, bounds0 = _solver_for(system, optimizer_options)
+    B = guess_batch.shape[0]
+
+    rt0 = compiled.default_runtime()
+    if bc_overrides is None:
+        rt = {"bc": tuple(jnp.broadcast_to(v, (B,) + v.shape) for v in rt0["bc"])}
+    else:
+        rt = {"bc": tuple(jnp.asarray(v) for v in bc_overrides)}
+
+    if bounds_override is None:
+        bounds = Bounds(*[jnp.broadcast_to(b, (B,) + b.shape) for b in bounds0])
+    else:
+        bounds = bounds_override
+
+    batched = jax.jit(jax.vmap(solve_fn))
+    return batched(jnp.asarray(guess_batch), bounds, rt)

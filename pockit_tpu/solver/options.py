@@ -1,0 +1,49 @@
+"""Interior-point solver options.
+
+A small dataclass replaces IPOPT's string-keyed option system (reference
+passthrough: ``/root/reference/pockit/optimizer/ipopt.py:50-51``). All
+fields are Python scalars so an options instance is a static jit argument.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IPOptions:
+    """Options for the primal-dual interior-point solver.
+
+    Defaults follow IPOPT's monotone (Fiacco-McCormick) strategy; tolerances
+    are interpreted in the solver dtype (use ~1e-8 for float64, ~1e-5 for
+    float32 on TPU).
+    """
+
+    tol: float = 1e-8  # KKT error for successful termination
+    max_iter: int = 100
+    mu_init: float = 1e-1
+    kappa_mu: float = 0.2  # linear mu shrink factor
+    theta_mu: float = 1.5  # superlinear mu shrink exponent
+    kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
+    tau_min: float = 0.99  # fraction-to-boundary floor
+    kappa_1: float = 1e-2  # initial-point push (absolute)
+    kappa_2: float = 1e-2  # initial-point push (relative)
+    s_max: float = 100.0  # KKT error scaling threshold
+    # line search
+    max_ls: int = 20  # backtracking steps
+    eta_ls: float = 1e-4  # Armijo constant
+    gamma_theta: float = 1e-5  # infeasibility-decrease acceptance
+    # regularization
+    delta_w_init: float = 1e-8
+    delta_w_max: float = 1e10
+    delta_c: float = 1e-8  # dual regularization floor for equality rows
+    delta_c_scale: float = 0.1  # mu-proportional dual regularization
+    # relative Cholesky pivot threshold: factorization counts as failed when
+    # min(diag L) <= chol_pivot_rtol * max(diag L) (catches PSD-singular K)
+    chol_pivot_rtol: float = 1e-7
+    bound_relax: float = 1e-8  # relax bounds to avoid empty interior
+    max_reg_tries: int = 10
+    # iterative refinement of the condensed KKT solve (helps float32)
+    refine_steps: int = 1
+    # watchdog: declare divergence when primal iterates blow up
+    diverge_threshold: float = 1e20

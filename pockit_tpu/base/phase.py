@@ -320,6 +320,8 @@ class PhaseBase:
         return T_x, I_f
 
     def _error_estimation_data_discontinuous(self, x, s):
+        if not self.n_b:
+            return np.zeros((0, self.L_m))
         x = self._apply_bc_host(x, s)
         args, _ = self._middle_args_host(x, s, aug=False)
         return np.stack([np.asarray(f(args)) for f in self._func_bang_bang_control])

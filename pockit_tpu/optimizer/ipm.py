@@ -43,16 +43,27 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
     compiled = system.compiled
     if options is None:
         options = default_options()
-    solve_fn = make_ip_solver(
-        compiled.objective_fn, compiled.constraints_fn, compiled.L, compiled.m, options
-    )
+    cache = getattr(compiled, "_ipm_cache", None)
+    if cache is None:
+        cache = {}
+        compiled._ipm_cache = cache
+    if options not in cache:
+        cache[options] = jax.jit(
+            make_ip_solver(
+                compiled.objective_fn,
+                compiled.constraints_fn,
+                compiled.L,
+                compiled.m,
+                options,
+            )
+        )
     bounds = Bounds(
         jnp.asarray(compiled.z_lb),
         jnp.asarray(compiled.z_ub),
         jnp.asarray(compiled.c_lb),
         jnp.asarray(compiled.c_ub),
     )
-    return compiled, solve_fn, bounds
+    return compiled, cache[options], bounds
 
 
 def solve(
@@ -78,7 +89,7 @@ def solve(
     compiled, solve_fn, bounds = _solver_for(system, optimizer_options)
 
     rt = compiled.default_runtime()
-    result = jax.jit(solve_fn)(jnp.asarray(x_0), bounds, rt)
+    result = solve_fn(jnp.asarray(x_0), bounds, rt)
 
     x = np.asarray(result.z, dtype=np.float64)
     if guess_is_variable:
@@ -139,5 +150,8 @@ def solve_batch(
     else:
         bounds = bounds_override
 
-    batched = jax.jit(jax.vmap(solve_fn))
-    return batched(jnp.asarray(guess_batch), bounds, rt)
+    cache = compiled._ipm_cache
+    key = (optimizer_options, "vmap")
+    if key not in cache:
+        cache[key] = jax.jit(jax.vmap(solve_fn))
+    return cache[key](jnp.asarray(guess_batch), bounds, rt)

@@ -1,0 +1,11 @@
+"""Multi-device scaling: instance sharding over a device mesh.
+
+The reference has no distributed layer at all (SURVEY §2.3); here the
+scaling axis is the *problem-instance batch* (thousands of perturbed
+boundary-condition / homotopy instances), sharded over the mesh with
+``shard_map`` and reduced with ICI collectives.
+"""
+
+from pockit_tpu.parallel.sharding import make_sharded_batch_solver
+
+__all__ = ["make_sharded_batch_solver"]

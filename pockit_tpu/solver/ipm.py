@@ -167,10 +167,28 @@ def make_ip_solver(
         v_l = jnp.where(has_cl, mu0 / bl, 0.0)
         v_u = jnp.where(has_cu, mu0 / bu, 0.0)
 
+        # least-squares multiplier initialization (IPOPT-style): minimize
+        # ||grad f + J^T y - w_l + w_u|| at the start point so warm starts
+        # from a solution converge immediately; fall back to zero when the
+        # estimate is enormous (far-from-feasible cold starts)
+        if m:
+            g0 = grad_fn(z, rt)
+            J0 = jac_fn(z, rt)
+            r0 = g0 - w_l + w_u
+            G = J0 @ J0.T + 1e-8 * jnp.eye(m, dtype=dtype)
+            y0 = -jnp.linalg.solve(G, J0 @ r0)
+            y0 = jnp.where(
+                jnp.max(jnp.abs(y0)) > 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0))),
+                jnp.zeros((m,), dtype),
+                y0,
+            )
+        else:
+            y0 = jnp.zeros((m,), dtype)
+
         state = _State(
             z=z,
             s=s,
-            y=jnp.zeros((m,), dtype),
+            y=y0,
             w_l=w_l,
             w_u=w_u,
             v_l=v_l,

@@ -31,6 +31,7 @@ from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -121,6 +122,12 @@ def make_ip_solver(
     def solve(z0, bounds: Bounds, rt=None) -> IPResult:
         dtype = z0.dtype
         one = jnp.asarray(1.0, dtype)
+        # dtype-aware numerical safeguards: the float64 defaults are
+        # meaningless at float32 precision (eps 6e-8), so floor them
+        eps_dt = float(np.finfo(np.dtype(dtype)).eps)
+        pivot_rtol = max(opt.chol_pivot_rtol, 2.0 * np.sqrt(eps_dt))
+        delta_c_floor = max(opt.delta_c, 100.0 * eps_dt)
+        delta_w_floor = max(opt.delta_w_init, 10.0 * eps_dt)
         zl, zu = bounds.z_lb.astype(dtype), bounds.z_ub.astype(dtype)
         cl, cu = bounds.c_lb.astype(dtype), bounds.c_ub.astype(dtype)
 
@@ -301,7 +308,7 @@ def make_ip_solver(
             # dual regularization for equality rows: mu-proportional
             # (IP-PMM style) with an absolute floor, so early iterations are
             # a gentle augmented-Lagrangian penalty and the endgame is exact
-            delta_c = jnp.maximum(opt.delta_c, opt.delta_c_scale * mu)
+            delta_c = jnp.maximum(delta_c_floor, opt.delta_c_scale * mu)
             D = jnp.where(eq, 1.0 / delta_c, sigma_s)
 
             g_z = g + (J.T @ y if m else 0.0) - mu * inv_al + mu * inv_au
@@ -321,20 +328,33 @@ def make_ip_solver(
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
             def _try(delta):
-                Lc = jnp.linalg.cholesky(K0 + delta * eye)
+                # Jacobi equilibration: the condensed K carries an intrinsic
+                # ~1/delta_c spread between constraint-normal and tangential
+                # directions which would destroy a float32 Cholesky; the
+                # spread sits on the diagonal, so symmetric diagonal scaling
+                # removes most of it and the pivot test sees the *scaled*
+                # conditioning
+                K = K0 + delta * eye
+                sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
+                Kt = K * sc[:, None] * sc[None, :]
+                Lc = jnp.linalg.cholesky(Kt)
                 diag = jnp.diagonal(Lc)
                 chol_ok = jnp.all(jnp.isfinite(diag)) & (
-                    jnp.min(diag) > opt.chol_pivot_rtol * jnp.max(diag)
+                    jnp.min(diag) > pivot_rtol * jnp.max(diag)
                 )
                 Lc_safe = jnp.where(chol_ok, Lc, eye)
-                t = jax.scipy.linalg.solve_triangular(Lc_safe, rhs, lower=True)
-                dz = jax.scipy.linalg.solve_triangular(Lc_safe.T, t, lower=False)
+                t = jax.scipy.linalg.solve_triangular(
+                    Lc_safe, sc * rhs, lower=True
+                )
+                dz = sc * jax.scipy.linalg.solve_triangular(
+                    Lc_safe.T, t, lower=False
+                )
                 ok = (
                     chol_ok
                     & jnp.all(jnp.isfinite(dz))
                     & (jnp.linalg.norm(dz) <= step_cap)
                 )
-                return Lc_safe, dz, ok
+                return (Lc_safe, sc), dz, ok
 
             def reg_cond(carry):
                 return (~carry[3]) & (carry[4] < opt.max_reg_tries)
@@ -345,10 +365,10 @@ def make_ip_solver(
                     tries == 0,
                     st.dreg,
                     jnp.where(
-                        (tries == 1) & (st.dreg < opt.delta_w_init),
-                        jnp.asarray(opt.delta_w_init, dtype),
+                        (tries == 1) & (st.dreg < delta_w_floor),
+                        jnp.asarray(delta_w_floor, dtype),
                         jnp.minimum(
-                            jnp.maximum(delta, opt.delta_w_init) * 100.0,
+                            jnp.maximum(delta, delta_w_floor) * 100.0,
                             opt.delta_w_max,
                         ),
                     ),
@@ -356,15 +376,23 @@ def make_ip_solver(
                 Lc, dz, ok = _try(delta_new)
                 return Lc, dz, delta_new, ok, tries + 1
 
-            Lc, dz, delta_w, reg_ok, _ = lax.while_loop(
+            (Lc, sc_eq), dz, delta_w, reg_ok, _ = lax.while_loop(
                 reg_cond,
                 reg_body,
-                (eye, jnp.zeros((n,), dtype), st.dreg, jnp.asarray(False), 0),
+                (
+                    (eye, jnp.ones((n,), dtype)),
+                    jnp.zeros((n,), dtype),
+                    st.dreg,
+                    jnp.asarray(False),
+                    0,
+                ),
             )
 
             def chol_solve(b):
-                t = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
-                return jax.scipy.linalg.solve_triangular(Lc.T, t, lower=False)
+                t = jax.scipy.linalg.solve_triangular(Lc, sc_eq * b, lower=True)
+                return sc_eq * jax.scipy.linalg.solve_triangular(
+                    Lc.T, t, lower=False
+                )
 
             for _ in range(opt.refine_steps):
                 K_reg = K0 + delta_w * eye
@@ -400,13 +428,24 @@ def make_ip_solver(
             )
 
             # -- backtracking line search on the merit function ---------
-            nu = jnp.maximum(
-                nu, 1.2 * jnp.max(jnp.abs(y + dy), initial=0.0) + 0.1
-            )
-            phi0, theta0 = _merit(z, s, mu, nu, rt)
+            # Byrd-Nocedal penalty rule: the smallest nu making the step a
+            # descent direction for phi + nu*theta (with margin rho), reset
+            # each iteration — a monotone nu ratchets up on bad early duals
+            # and then vetoes every later step
             dphi_barrier = (g - mu * inv_al + mu * inv_au) @ dz + (
                 (-mu * inv_bl + mu * inv_bu) @ ds if m else 0.0
             )
+            theta0_raw = (
+                jnp.sum(jnp.abs(r_c)) if m else jnp.asarray(0.0, dtype)
+            )
+            rho = 0.5
+            nu_req = jnp.where(
+                theta0_raw > 1e-10,
+                dphi_barrier / ((1.0 - rho) * theta0_raw),
+                0.0,
+            )
+            nu = jnp.clip(jnp.maximum(st.nu, 1.2 * nu_req), 1e-6, 1e6)
+            phi0, theta0 = _merit(z, s, mu, nu, rt)
             descent = jnp.minimum(dphi_barrier - nu * theta0, 0.0)
 
             def ls_cond(carry):
@@ -432,9 +471,9 @@ def make_ip_solver(
             a_dual = jnp.where(ls_ok, a_dual, 0.0)
             dreg_n = jnp.where(
                 ls_ok & reg_ok,
-                jnp.where(delta_w / 10.0 < opt.delta_w_init, 0.0, delta_w / 10.0),
+                jnp.where(delta_w / 10.0 < delta_w_floor, 0.0, delta_w / 10.0),
                 jnp.minimum(
-                    jnp.maximum(delta_w, opt.delta_w_init) * 100.0,
+                    jnp.maximum(delta_w, delta_w_floor) * 100.0,
                     opt.delta_w_max,
                 ),
             )

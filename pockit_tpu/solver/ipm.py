@@ -1,41 +1,40 @@
-"""Primal-dual interior-point method, written for TPU execution.
+"""Primal-dual interior-point method with a filter line search, written for
+TPU execution.
 
-A from-scratch replacement for IPOPT (reference calls out to the C++ solver,
-``/root/reference/pockit/optimizer/ipopt.py:41-53``). Design:
+A from-scratch replacement for IPOPT (the reference calls out to the C++
+solver, ``/root/reference/pockit/optimizer/ipopt.py:41-53``). Design:
 
 - **One condensed SPD solve per iteration.** Slacks and bound duals are
-  eliminated analytically; equality rows get dual regularization ``δ_c`` so
-  the condensed matrix ``K = W + Σ_z + δ_w I + Jᵀ D J`` is symmetric
-  positive definite after inertia correction. ``K`` is factorized with a
-  dense Cholesky — batched Cholesky + triangular solves map well onto the
-  TPU MXU, and no pivoting (which serializes on TPU) is ever needed.
-- **Fixed-shape, mask-driven.** Infinite bounds, equality rows, and
-  convergence are all boolean masks; the whole solve is one
+  eliminated analytically; equality rows get mu-proportional dual
+  regularization so the condensed matrix ``K = W + Σ_z + δ_w I + Jᵀ D J``
+  is symmetric positive definite after inertia correction. ``K`` is
+  Jacobi-equilibrated and factorized with a dense Cholesky — batched
+  Cholesky + triangular solves map well onto the TPU MXU, no pivoting
+  (which serializes on TPU) is ever needed, and the equilibration keeps the
+  factorization honest in float32.
+- **Globalization: Wächter-Biegler filter line search** (the IPOPT
+  algorithm): a fixed-size (θ, φ) filter per barrier stage, an f/h-type
+  switching rule, a second-order correction on the first rejected trial,
+  and a feasibility (Gauss-Newton) fallback step when the backtracking
+  fails — instead of an l1-penalty merit, which deadlocks on damped steps.
+- **Fixed-shape, mask-driven.** Infinite bounds, equality rows, the filter
+  and convergence are all arrays/masks; the whole solve is one
   ``lax.while_loop`` so it jits once and ``vmap``s over problem instances
-  (each lane carries its own barrier parameter and convergence flag, and
-  finished lanes are frozen with ``where`` so batched solves are exact).
-- **Float32-friendly.** One step of iterative refinement on the condensed
-  system recovers most of the accuracy lost to a single-precision
-  factorization; tolerances are dtype-scaled by the caller.
-
-Algorithmic skeleton: monotone Fiacco-McCormick barrier updates, a
-fraction-to-boundary rule, backtracking line search on an l1-penalty
-barrier merit function, and escalating inertia regularization — the same
-family of heuristics IPOPT's filter method belongs to, simplified for
-batched execution.
+  (finished lanes are frozen with ``where`` so batched solves are exact).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
-import numpy as np
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from pockit_tpu.solver.options import IPOptions
+
+_FILTER_SIZE = 24
 
 
 class Bounds(NamedTuple):
@@ -69,8 +68,9 @@ class _State(NamedTuple):
     v_l: jax.Array
     v_u: jax.Array
     mu: jax.Array
-    nu: jax.Array
     dreg: jax.Array  # persistent inertia-regularization level
+    th_f: jax.Array  # filter theta entries (_FILTER_SIZE,)
+    ph_f: jax.Array  # filter phi entries
     it: jax.Array
     done: jax.Array
     status: jax.Array
@@ -119,15 +119,26 @@ def make_ip_solver(
 
     jac_fn = jax.jacrev(c_fn) if m else (lambda z, rt: jnp.zeros((0, n), z.dtype))
 
+    # filter-method constants (Wächter & Biegler 2006 defaults)
+    GAMMA_TH = 1e-5
+    GAMMA_PH = 1e-8
+    S_TH = 1.1
+    S_PH = 2.3
+    DELTA_SW = 1.0
+    ETA_PH = 1e-8
+    KAPPA_SOC = 0.99
+
     def solve(z0, bounds: Bounds, rt=None) -> IPResult:
         dtype = z0.dtype
         one = jnp.asarray(1.0, dtype)
+        inf = jnp.asarray(jnp.inf, dtype)
         # dtype-aware numerical safeguards: the float64 defaults are
         # meaningless at float32 precision (eps 6e-8), so floor them
         eps_dt = float(np.finfo(np.dtype(dtype)).eps)
         pivot_rtol = max(opt.chol_pivot_rtol, 2.0 * np.sqrt(eps_dt))
         delta_c_floor = max(opt.delta_c, 100.0 * eps_dt)
         delta_w_floor = max(opt.delta_w_init, 10.0 * eps_dt)
+
         zl, zu = bounds.z_lb.astype(dtype), bounds.z_ub.astype(dtype)
         cl, cu = bounds.c_lb.astype(dtype), bounds.c_ub.astype(dtype)
 
@@ -165,32 +176,47 @@ def make_ip_solver(
         c0 = c_fn(z, rt) if m else jnp.zeros((0,), dtype)
         s = jnp.where(eq, cl, _push(c0, cl_r, cu_r, has_cl, has_cu))
 
-        al = jnp.where(has_zl, z - zl_r, one)
-        au = jnp.where(has_zu, zu_r - z, one)
-        bl = jnp.where(has_cl, s - cl_r, one)
-        bu = jnp.where(has_cu, cu_r - s, one)
-        w_l = jnp.where(has_zl, mu0 / al, 0.0)
-        w_u = jnp.where(has_zu, mu0 / au, 0.0)
-        v_l = jnp.where(has_cl, mu0 / bl, 0.0)
-        v_u = jnp.where(has_cu, mu0 / bu, 0.0)
+        al0 = jnp.where(has_zl, z - zl_r, one)
+        au0 = jnp.where(has_zu, zu_r - z, one)
+        bl0 = jnp.where(has_cl, s - cl_r, one)
+        bu0 = jnp.where(has_cu, cu_r - s, one)
+        w_l = jnp.where(has_zl, mu0 / al0, 0.0)
+        w_u = jnp.where(has_zu, mu0 / au0, 0.0)
+        v_l = jnp.where(has_cl, mu0 / bl0, 0.0)
+        v_u = jnp.where(has_cu, mu0 / bu0, 0.0)
 
         # least-squares multiplier initialization (IPOPT-style): minimize
         # ||grad f + J^T y - w_l + w_u|| at the start point so warm starts
         # from a solution converge immediately; fall back to zero when the
         # estimate is enormous (far-from-feasible cold starts)
         if m:
-            g0 = grad_fn(z, rt)
-            J0 = jac_fn(z, rt)
-            r0 = g0 - w_l + w_u
-            G = J0 @ J0.T + 1e-8 * jnp.eye(m, dtype=dtype)
-            y0 = -jnp.linalg.solve(G, J0 @ r0)
+            g0_ = grad_fn(z, rt)
+            J0_ = jac_fn(z, rt)
+            r0_ = g0_ - w_l + w_u
+            G = J0_ @ J0_.T + 1e-8 * jnp.eye(m, dtype=dtype)
+            y0 = -jnp.linalg.solve(G, J0_ @ r0_)
             y0 = jnp.where(
-                jnp.max(jnp.abs(y0)) > 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0))),
+                jnp.max(jnp.abs(y0))
+                > 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0_))),
                 jnp.zeros((m,), dtype),
                 y0,
             )
         else:
             y0 = jnp.zeros((m,), dtype)
+
+        theta_init = jnp.sum(jnp.abs(c0 - s)) if m else jnp.asarray(0.0, dtype)
+        theta_min = 1e-4 * jnp.maximum(one, theta_init)
+        theta_max = 1e4 * jnp.maximum(one, theta_init)
+
+        def _fresh_filter():
+            """Filter containing only the theta_max cap."""
+            th = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
+            ph = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
+            th = th.at[0].set(theta_max)
+            ph = ph.at[0].set(-jnp.inf)
+            return th, ph
+
+        th_f0, ph_f0 = _fresh_filter()
 
         state = _State(
             z=z,
@@ -201,8 +227,9 @@ def make_ip_solver(
             v_l=v_l,
             v_u=v_u,
             mu=mu0,
-            nu=one,
             dreg=jnp.asarray(0.0, dtype),
+            th_f=th_f0,
+            ph_f=ph_f0,
             it=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             status=jnp.asarray(1, jnp.int32),
@@ -230,11 +257,9 @@ def make_ip_solver(
                     jnp.where(has_cu, bu * v_u - mu, 0.0),
                 ]
             )
-            dual_norm = (
-                jnp.sum(jnp.abs(y)) + jnp.sum(w_l + w_u) + jnp.sum(v_l + v_u)
-            )
-            denom = m + 2 * n + 2 * m if m else 2 * n
-            s_d = jnp.maximum(opt.s_max, dual_norm / max(denom, 1)) / opt.s_max
+            dual_norm = jnp.sum(jnp.abs(y)) + jnp.sum(w_l + w_u) + jnp.sum(v_l + v_u)
+            denom = max(m + 2 * n + 2 * m, 1)
+            s_d = jnp.maximum(opt.s_max, dual_norm / denom) / opt.s_max
             err_stat = jnp.max(
                 jnp.concatenate([jnp.abs(r_stat), jnp.abs(r_dual_s)]), initial=0.0
             )
@@ -242,17 +267,16 @@ def make_ip_solver(
             err_comp = jnp.max(jnp.abs(comp), initial=0.0)
             return jnp.maximum(jnp.maximum(err_stat / s_d, err_feas), err_comp / s_d)
 
-        def _merit(z, s, mu, nu, rt):
+        def _phi_theta(z, s, mu, rt):
+            """Barrier objective phi and l1 infeasibility theta; phi is +inf
+            outside the strict interior."""
             f = f_fn(z, rt)
             al = jnp.where(has_zl, z - zl_r, one)
             au = jnp.where(has_zu, zu_r - z, one)
             bl = jnp.where(has_cl, s - cl_r, one)
             bu = jnp.where(has_cu, cu_r - s, one)
             interior = (
-                jnp.all(jnp.where(has_zl, al, one) > 0)
-                & jnp.all(jnp.where(has_zu, au, one) > 0)
-                & jnp.all(jnp.where(has_cl, bl, one) > 0)
-                & jnp.all(jnp.where(has_cu, bu, one) > 0)
+                jnp.all(al > 0) & jnp.all(au > 0) & jnp.all(bl > 0) & jnp.all(bu > 0)
             )
             barrier = (
                 _masked_log_sum(has_zl, al)
@@ -260,16 +284,14 @@ def make_ip_solver(
                 + _masked_log_sum(has_cl, bl)
                 + _masked_log_sum(has_cu, bu)
             )
-            theta = (
-                jnp.sum(jnp.abs(c_fn(z, rt) - s)) if m else jnp.asarray(0.0, dtype)
-            )
-            phi = f - mu * barrier + nu * theta
-            return jnp.where(interior, phi, jnp.inf), theta
+            theta = jnp.sum(jnp.abs(c_fn(z, rt) - s)) if m else jnp.asarray(0.0, dtype)
+            phi = jnp.where(interior & jnp.isfinite(f), f - mu * barrier, inf)
+            return phi, theta
 
         def body(st: _State) -> _State:
             z, s, y = st.z, st.s, st.y
             w_l, w_u, v_l, v_u = st.w_l, st.w_u, st.v_l, st.v_u
-            mu, nu = st.mu, st.nu
+            mu = st.mu
 
             g = grad_fn(z, rt)
             J = jac_fn(z, rt)
@@ -278,11 +300,9 @@ def make_ip_solver(
             # -- convergence bookkeeping --------------------------------
             E0 = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, 0.0)
             newly_done = E0 <= opt.tol
-            blown = ~jnp.isfinite(E0) | (
-                jnp.max(jnp.abs(z)) > opt.diverge_threshold
-            )
+            blown = ~jnp.isfinite(E0) | (jnp.max(jnp.abs(z)) > opt.diverge_threshold)
 
-            # -- barrier update (monotone) ------------------------------
+            # -- barrier update (monotone); filter resets with mu -------
             E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, mu)
             shrink = E_mu <= opt.kappa_eps * mu
             mu = jnp.where(
@@ -293,6 +313,8 @@ def make_ip_solver(
                 ),
                 mu,
             )
+            th_f = jnp.where(shrink, th_f0, st.th_f)
+            ph_f = jnp.where(shrink, ph_f0, st.ph_f)
 
             # -- assemble condensed system ------------------------------
             al = jnp.where(has_zl, z - zl_r, one)
@@ -320,22 +342,19 @@ def make_ip_solver(
                 K0 = K0 + (J.T * D) @ J
             rhs = -g_z - (J.T @ (D * r_c + g_s) if m else 0.0)
 
-            # -- inertia correction: escalate delta_w until the factorization
-            # is solid AND the resulting step is sane. A near-singular K
-            # passes a NaN test yet yields an astronomically long step, so
-            # the step itself is part of the quality gate.
+            # -- inertia correction: escalate delta_w until the
+            # factorization is solid AND the step is sane -----------------
             eye = jnp.eye(n, dtype=dtype)
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
             def _try(delta):
-                # Jacobi equilibration: the condensed K carries an intrinsic
-                # ~1/delta_c spread between constraint-normal and tangential
-                # directions which would destroy a float32 Cholesky; the
-                # spread sits on the diagonal, so symmetric diagonal scaling
-                # removes most of it and the pivot test sees the *scaled*
-                # conditioning
+                # Jacobi equilibration: K carries an intrinsic ~1/delta_c
+                # spread between constraint-normal and tangential directions
+                # which would destroy a float32 Cholesky; the spread sits on
+                # the diagonal, so symmetric diagonal scaling removes most
+                # of it and the pivot test sees the *scaled* conditioning
                 K = K0 + delta * eye
-                sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
+                sc = lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
                 Kt = K * sc[:, None] * sc[None, :]
                 Lc = jnp.linalg.cholesky(Kt)
                 diag = jnp.diagonal(Lc)
@@ -343,9 +362,7 @@ def make_ip_solver(
                     jnp.min(diag) > pivot_rtol * jnp.max(diag)
                 )
                 Lc_safe = jnp.where(chol_ok, Lc, eye)
-                t = jax.scipy.linalg.solve_triangular(
-                    Lc_safe, sc * rhs, lower=True
-                )
+                t = jax.scipy.linalg.solve_triangular(Lc_safe, sc * rhs, lower=True)
                 dz = sc * jax.scipy.linalg.solve_triangular(
                     Lc_safe.T, t, lower=False
                 )
@@ -368,13 +385,13 @@ def make_ip_solver(
                         (tries == 1) & (st.dreg < delta_w_floor),
                         jnp.asarray(delta_w_floor, dtype),
                         jnp.minimum(
-                            jnp.maximum(delta, delta_w_floor) * 100.0,
+                            jnp.maximum(delta, delta_w_floor) * 10.0,
                             opt.delta_w_max,
                         ),
                     ),
                 )
-                Lc, dz, ok = _try(delta_new)
-                return Lc, dz, delta_new, ok, tries + 1
+                Lc_sc, dz, ok = _try(delta_new)
+                return Lc_sc, dz, delta_new, ok, tries + 1
 
             (Lc, sc_eq), dz, delta_w, reg_ok, _ = lax.while_loop(
                 reg_cond,
@@ -398,9 +415,14 @@ def make_ip_solver(
                 K_reg = K0 + delta_w * eye
                 dz = dz - chol_solve(K_reg @ dz - rhs)
 
-            Jdz = J @ dz if m else jnp.zeros((0,), dtype)
-            dy = D * (Jdz + r_c) + g_s
-            ds = jnp.where(eq, 0.0, Jdz + r_c)
+            def _expand(dz_):
+                """Recover slack/dual directions from a primal direction."""
+                Jdz_ = J @ dz_ if m else jnp.zeros((0,), dtype)
+                dy_ = D * (Jdz_ + r_c) + g_s
+                ds_ = jnp.where(eq, 0.0, Jdz_ + r_c)
+                return Jdz_, dy_, ds_
+
+            Jdz, dy, ds = _expand(dz)
             dw_l = jnp.where(has_zl, mu * inv_al - w_l - w_l * inv_al * dz, 0.0)
             dw_u = jnp.where(has_zu, mu * inv_au - w_u + w_u * inv_au * dz, 0.0)
             dv_l = jnp.where(has_cl, mu * inv_bl - v_l - v_l * inv_bl * ds, 0.0)
@@ -408,14 +430,20 @@ def make_ip_solver(
 
             # -- fraction to boundary -----------------------------------
             tau = jnp.maximum(opt.tau_min, 1.0 - mu)
-            a_pri = jnp.minimum(
-                jnp.minimum(
-                    _max_step(has_zl, al, dz, tau), _max_step(has_zu, au, -dz, tau)
-                ),
-                jnp.minimum(
-                    _max_step(has_cl, bl, ds, tau), _max_step(has_cu, bu, -ds, tau)
-                ),
-            )
+
+            def _ftb_primal(dz_, ds_):
+                return jnp.minimum(
+                    jnp.minimum(
+                        _max_step(has_zl, al, dz_, tau),
+                        _max_step(has_zu, au, -dz_, tau),
+                    ),
+                    jnp.minimum(
+                        _max_step(has_cl, bl, ds_, tau),
+                        _max_step(has_cu, bu, -ds_, tau),
+                    ),
+                )
+
+            a_pri_max = _ftb_primal(dz, ds)
             a_dual = jnp.minimum(
                 jnp.minimum(
                     _max_step(has_zl, w_l, dw_l, tau),
@@ -427,64 +455,167 @@ def make_ip_solver(
                 ),
             )
 
-            # -- backtracking line search on the merit function ---------
-            # Byrd-Nocedal penalty rule: the smallest nu making the step a
-            # descent direction for phi + nu*theta (with margin rho), reset
-            # each iteration — a monotone nu ratchets up on bad early duals
-            # and then vetoes every later step
-            dphi_barrier = (g - mu * inv_al + mu * inv_au) @ dz + (
+            # -- filter line search (Wächter-Biegler) -------------------
+            phi0, theta0 = _phi_theta(z, s, mu, rt)
+            dphi = (g - mu * inv_al + mu * inv_au) @ dz + (
                 (-mu * inv_bl + mu * inv_bu) @ ds if m else 0.0
             )
-            theta0_raw = (
-                jnp.sum(jnp.abs(r_c)) if m else jnp.asarray(0.0, dtype)
-            )
-            rho = 0.5
-            nu_req = jnp.where(
-                theta0_raw > 1e-10,
-                dphi_barrier / ((1.0 - rho) * theta0_raw),
-                0.0,
-            )
-            nu = jnp.clip(jnp.maximum(st.nu, 1.2 * nu_req), 1e-6, 1e6)
-            phi0, theta0 = _merit(z, s, mu, nu, rt)
-            descent = jnp.minimum(dphi_barrier - nu * theta0, 0.0)
 
-            def ls_cond(carry):
-                alpha, accepted, k = carry
-                return (~accepted) & (k < opt.max_ls)
+            def _filter_ok(th_t, ph_t):
+                ok_each = (th_t <= (1.0 - GAMMA_TH) * th_f) | (
+                    ph_t <= ph_f - GAMMA_PH * th_f
+                )
+                return jnp.all(ok_each)
 
-            def ls_body(carry):
-                alpha, _, k = carry
-                alpha = jnp.where(k == 0, a_pri, alpha * 0.5)
-                phi_t, theta_t = _merit(z + alpha * dz, s + alpha * ds, mu, nu, rt)
-                armijo = phi_t <= phi0 + opt.eta_ls * alpha * descent
-                feas_ok = theta_t <= (1.0 - opt.gamma_theta) * theta0
-                accepted = armijo | (feas_ok & (theta_t < theta0))
-                return alpha, accepted, k + 1
+            def _acceptable(alpha, th_t, ph_t):
+                switching = (
+                    (dphi < 0)
+                    & (
+                        alpha * jnp.abs(dphi) ** S_PH
+                        > DELTA_SW * jnp.maximum(theta0, 1e-30) ** S_TH
+                    )
+                    & (theta0 <= theta_min)
+                )
+                armijo = ph_t <= phi0 + ETA_PH * alpha * dphi
+                suff = (th_t <= (1.0 - GAMMA_TH) * theta0) | (
+                    ph_t <= phi0 - GAMMA_PH * theta0
+                )
+                return (
+                    _filter_ok(th_t, ph_t)
+                    & jnp.where(switching, armijo, suff),
+                    switching,
+                )
 
-            alpha, ls_ok, _ = lax.while_loop(
-                ls_cond, ls_body, (a_pri, jnp.asarray(False), 0)
-            )
-            # a failed line search means the direction is unusable: reject the
-            # step outright and raise the persistent regularization level so
-            # the next iteration computes a more conservative direction
-            alpha = jnp.where(ls_ok, alpha, 0.0)
-            a_dual = jnp.where(ls_ok, a_dual, 0.0)
-            dreg_n = jnp.where(
-                ls_ok & reg_ok,
-                jnp.where(delta_w / 10.0 < delta_w_floor, 0.0, delta_w / 10.0),
-                jnp.minimum(
-                    jnp.maximum(delta_w, delta_w_floor) * 100.0,
-                    opt.delta_w_max,
+            def _trial(alpha, dz_, ds_):
+                ph_t, th_t = _phi_theta(z + alpha * dz_, s + alpha * ds_, mu, rt)
+                acc, sw = _acceptable(alpha, th_t, ph_t)
+                return ph_t, th_t, acc, sw
+
+            # first trial at the full fraction-to-boundary step
+            ph_1, th_1, acc_1, sw_1 = _trial(a_pri_max, dz, ds)
+
+            # second-order correction: when the full step was rejected and
+            # did not reduce infeasibility, correct the direction with the
+            # constraint values at the trial point (re-using the factors)
+            def _soc():
+                z_t = z + a_pri_max * dz
+                c_t = c_fn(z_t, rt) if m else jnp.zeros((0,), dtype)
+                s_t = s + a_pri_max * ds
+                r_soc = jnp.where(eq, c_t - cl, c_t - s_t)
+                dz_cor = chol_solve(-(J.T @ (D * r_soc))) if m else dz * 0.0
+                dz_soc = a_pri_max * dz + dz_cor
+                _, _, ds_soc = _expand(dz_soc)
+                a_soc = _ftb_primal(dz_soc, ds_soc)
+                ph_s, th_s = _phi_theta(z + a_soc * dz_soc, s + a_soc * ds_soc, mu, rt)
+                acc_s, sw_s = _acceptable(a_soc, th_s, ph_s)
+                good = acc_s & (th_s <= KAPPA_SOC * theta0)
+                return good, a_soc, dz_soc, ds_soc, ph_s, th_s, sw_s
+
+            soc_wanted = (~acc_1) & (th_1 >= theta0) & (m > 0)
+            soc_good, a_soc, dz_soc, ds_soc, ph_soc, th_soc, sw_soc = lax.cond(
+                soc_wanted,
+                _soc,
+                lambda: (
+                    jnp.asarray(False),
+                    one,
+                    dz,
+                    ds,
+                    inf,
+                    inf,
+                    jnp.asarray(False),
                 ),
             )
 
-            z_n = z + alpha * dz
-            s_n = s + alpha * ds
-            y_n = y + alpha * dy
-            w_l_n = w_l + a_dual * dw_l
-            w_u_n = w_u + a_dual * dw_u
-            v_l_n = v_l + a_dual * dv_l
-            v_u_n = v_u + a_dual * dv_u
+            # backtracking on the original direction for the remaining trials
+            def ls_cond(carry):
+                alpha, accepted, k, _ = carry
+                return (~accepted) & (k < opt.max_ls)
+
+            def ls_body(carry):
+                alpha, _, k, _ = carry
+                alpha = alpha * 0.5
+                _, th_t, acc, sw = _trial(alpha, dz, ds)
+                return alpha, acc, k + 1, sw
+
+            alpha_bt, acc_bt, _, sw_bt = lax.while_loop(
+                ls_cond,
+                ls_body,
+                (a_pri_max, acc_1 | soc_good, 0, jnp.asarray(False)),
+            )
+
+            # select the step: SOC > first trial > backtracked > rejected
+            use_soc = soc_good
+            use_first = acc_1
+            accepted = acc_1 | soc_good | acc_bt
+            alpha = jnp.where(
+                use_first, a_pri_max, jnp.where(use_soc, a_soc, alpha_bt)
+            )
+            dz_eff = jnp.where(use_soc & ~use_first, dz_soc, dz)
+            ds_eff = jnp.where(use_soc & ~use_first, ds_soc, ds)
+            sw_eff = jnp.where(
+                use_first, sw_1, jnp.where(use_soc, sw_soc, sw_bt)
+            )
+
+            # -- feasibility fallback: if every trial failed, take a damped
+            # Gauss-Newton step on the constraint violation alone ----------
+            def _feas_dir():
+                dz_f = chol_solve(-(J.T @ (D * r_c))) if m else dz * 0.0
+                _, _, ds_f = _expand(dz_f)
+                return dz_f, ds_f
+
+            dz_fb, ds_fb = _feas_dir()
+            a_fb_max = _ftb_primal(dz_fb, ds_fb)
+
+            def fb_cond(carry):
+                alpha_f, ok, k = carry
+                return (~ok) & (k < opt.max_ls)
+
+            def fb_body(carry):
+                alpha_f, _, k = carry
+                alpha_f = jnp.where(k == 0, a_fb_max, alpha_f * 0.5)
+                ph_t, th_t = _phi_theta(
+                    z + alpha_f * dz_fb, s + alpha_f * ds_fb, mu, rt
+                )
+                ok = (th_t < (1.0 - GAMMA_TH * 0.1) * theta0) & jnp.isfinite(ph_t)
+                return alpha_f, ok, k + 1
+
+            a_fb, fb_ok, _ = lax.while_loop(
+                fb_cond,
+                fb_body,
+                (a_fb_max, accepted | (theta0 <= 1e-14), 0),
+            )
+            use_fb = (~accepted) & fb_ok & (theta0 > 1e-14)
+            alpha = jnp.where(use_fb, a_fb, jnp.where(accepted, alpha, 0.0))
+            dz_eff = jnp.where(use_fb, dz_fb, dz_eff)
+            ds_eff = jnp.where(use_fb, ds_fb, ds_eff)
+            took_step = accepted | use_fb
+
+            # filter augmentation for h-type (non-Armijo) accepted steps
+            augment = took_step & ~(sw_eff & ~use_fb)
+
+            def _augment(th_f, ph_f):
+                # replace the least-restrictive free/worst slot
+                score = jnp.where(jnp.isinf(th_f) & (th_f > 0), inf, th_f)
+                idx = jnp.argmax(score)
+                return (
+                    th_f.at[idx].set((1.0 - GAMMA_TH) * theta0),
+                    ph_f.at[idx].set(phi0 - GAMMA_PH * theta0),
+                )
+
+            th_f_new, ph_f_new = lax.cond(
+                augment, _augment, lambda a, b: (a, b), th_f, ph_f
+            )
+
+            # -- apply the step -----------------------------------------
+            dy_eff = jnp.where(use_fb, 0.0, dy)
+            z_n = z + alpha * dz_eff
+            s_n = s + alpha * ds_eff
+            y_n = y + alpha * dy_eff
+            a_dual_eff = jnp.where(took_step & ~use_fb, a_dual, 0.0)
+            w_l_n = w_l + a_dual_eff * dw_l
+            w_u_n = w_u + a_dual_eff * dw_u
+            v_l_n = v_l + a_dual_eff * dv_l
+            v_u_n = v_u + a_dual_eff * dv_u
 
             # dual safeguard (keeps Sigma bounded relative to mu / primal)
             kap = jnp.asarray(1e10, dtype)
@@ -505,9 +636,23 @@ def make_ip_solver(
                 has_cu, jnp.clip(v_u_n, mu / (kap * bu_n), kap * mu / bu_n), 0.0
             )
 
+            # regularization memory, Levenberg-Marquardt style: decay
+            # gently when the Newton step was accepted, escalate moderately
+            # when it was rejected (the fallback counts as a rejection of
+            # the Newton direction) — aggressive x100/÷10 jumps set up a
+            # two-cycle of wild and over-damped steps
+            newton_ok = accepted & reg_ok
+            dreg_n = jnp.where(
+                newton_ok,
+                jnp.where(delta_w / 3.0 < delta_w_floor, 0.0, delta_w / 3.0),
+                jnp.minimum(
+                    jnp.maximum(delta_w, delta_w_floor) * 10.0, opt.delta_w_max
+                ),
+            )
+
             # freeze finished lanes (vmap-safe), record status transitions
-            done_now = st.done | newly_done | blown
-            sel = lambda new, old: jnp.where(st.done | newly_done | blown, old, new)
+            finished = st.done | newly_done | blown
+            sel = lambda new, old: jnp.where(finished, old, new)
             return _State(
                 z=sel(z_n, z),
                 s=sel(s_n, s),
@@ -517,18 +662,15 @@ def make_ip_solver(
                 v_l=sel(v_l_n, v_l),
                 v_u=sel(v_u_n, v_u),
                 mu=sel(mu, st.mu),
-                nu=sel(nu, st.nu),
                 dreg=sel(dreg_n, st.dreg),
-                it=jnp.where(st.done | newly_done | blown, st.it, st.it + 1),
-                done=done_now,
+                th_f=jnp.where(finished, st.th_f, th_f_new),
+                ph_f=jnp.where(finished, st.ph_f, ph_f_new),
+                it=jnp.where(finished, st.it, st.it + 1),
+                done=finished,
                 status=jnp.where(
                     st.done,
                     st.status,
-                    jnp.where(
-                        newly_done,
-                        0,
-                        jnp.where(blown, 2, st.status),
-                    ),
+                    jnp.where(newly_done, 0, jnp.where(blown, 2, st.status)),
                 ).astype(jnp.int32),
                 kkt=jnp.where(st.done, st.kkt, E0),
             )

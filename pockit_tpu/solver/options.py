@@ -37,7 +37,7 @@ class IPOptions:
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
     delta_c: float = 1e-8  # dual regularization floor for equality rows
-    delta_c_scale: float = 0.1  # mu-proportional dual regularization
+    delta_c_scale: float = 0.0  # mu-proportional dual regularization (0 = fixed floor)
     # relative Cholesky pivot threshold: factorization counts as failed when
     # min(diag L) <= chol_pivot_rtol * max(diag L) (catches PSD-singular K)
     chol_pivot_rtol: float = 1e-7

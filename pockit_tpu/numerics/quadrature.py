@@ -42,11 +42,20 @@ def _legderval(x: np.ndarray, n: int) -> np.ndarray:
 def xw_lgl(num_point: int) -> tuple[np.ndarray, np.ndarray]:
     """LGL nodes and quadrature weights on ``[-1, 1]``.
 
+    Computed by the native C++ library (``native/colloc.cpp``) when
+    available, else the scipy/numpy path below; both use Golub-Welsch
+    Jacobi-matrix eigenvalues plus a Newton polish and agree to ~1e-14.
+
     ``num_point == 1`` degenerates to the midpoint rule ``([0], [2])`` to
     match the reference's convention.
     """
     if num_point <= 0:
         raise ValueError("Number of interpolation points must be at least 1.")
+    from pockit_tpu.numerics import native
+
+    res = native.lgl(num_point)
+    if res is not None:
+        return res
     if num_point == 1:
         return np.array([0.0]), np.array([2.0])
     n = num_point - 1  # polynomial degree
@@ -70,9 +79,14 @@ def xw_lgl(num_point: int) -> tuple[np.ndarray, np.ndarray]:
 @functools.lru_cache(maxsize=None)
 def xw_lgr(num_point: int) -> tuple[np.ndarray, np.ndarray]:
     """Left LGR nodes (include -1, exclude +1) and quadrature weights on
-    ``[-1, 1]``."""
+    ``[-1, 1]`` (native C++ when available, see :func:`xw_lgl`)."""
     if num_point <= 0:
         raise ValueError("Number of interpolation points must be at least 1.")
+    from pockit_tpu.numerics import native
+
+    res = native.lgr(num_point)
+    if res is not None:
+        return res
     if num_point == 1:
         return np.array([-1.0]), np.array([2.0])
     interior, _ = roots_jacobi(num_point - 1, 0.0, 1.0)

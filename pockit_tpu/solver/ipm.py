@@ -129,6 +129,10 @@ def make_ip_solver(
     KAPPA_SOC = 0.99
 
     def solve(z0, bounds: Bounds, rt=None) -> IPResult:
+        with jax.default_matmul_precision(opt.matmul_precision):
+            return _solve_impl(z0, bounds, rt)
+
+    def _solve_impl(z0, bounds: Bounds, rt=None) -> IPResult:
         dtype = z0.dtype
         one = jnp.asarray(1.0, dtype)
         inf = jnp.asarray(jnp.inf, dtype)

@@ -47,3 +47,7 @@ class IPOptions:
     refine_steps: int = 1
     # watchdog: declare divergence when primal iterates blow up
     diverge_threshold: float = 1e20
+    # matmul precision for the whole solve ('highest' forces true float32
+    # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
+    # passes — fatal for Cholesky factorizations)
+    matmul_precision: str = "highest"

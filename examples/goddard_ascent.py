@@ -20,6 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # demo scripts favor accuracy
+
 import numpy as np
 import sympy as sp
 

@@ -107,6 +107,8 @@ def solve(
         "mu": float(result.mu),
         "mult_c": np.asarray(result.y),
         "x": x,
+        # per-iteration metrics [kkt, mu, alpha, delta_w, theta, phi]
+        "trace": np.asarray(result.trace)[: int(result.iterations)],
     }
     return out, info
 

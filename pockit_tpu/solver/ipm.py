@@ -47,7 +47,13 @@ class Bounds(NamedTuple):
 
 
 class IPResult(NamedTuple):
-    """Solver output. ``status``: 0 converged, 1 max-iter, 2 diverged."""
+    """Solver output. ``status``: 0 converged, 1 max-iter, 2 diverged.
+
+    ``trace`` holds per-iteration solver metrics with columns
+    [kkt_error, mu, alpha, delta_w, theta, phi] (rows past ``iterations``
+    are zero) — the observability stream IPOPT prints to stdout, here as
+    an array so batched solves keep per-instance histories.
+    """
 
     z: jax.Array
     s: jax.Array  # constraint slacks
@@ -57,6 +63,7 @@ class IPResult(NamedTuple):
     iterations: jax.Array
     kkt_error: jax.Array
     mu: jax.Array
+    trace: jax.Array  # (max_iter, 6)
 
 
 class _State(NamedTuple):
@@ -71,6 +78,7 @@ class _State(NamedTuple):
     dreg: jax.Array  # persistent inertia-regularization level
     th_f: jax.Array  # filter theta entries (_FILTER_SIZE,)
     ph_f: jax.Array  # filter phi entries
+    trace: jax.Array  # (max_iter, 6) per-iteration metrics
     it: jax.Array
     done: jax.Array
     status: jax.Array
@@ -234,6 +242,7 @@ def make_ip_solver(
             dreg=jnp.asarray(0.0, dtype),
             th_f=th_f0,
             ph_f=ph_f0,
+            trace=jnp.zeros((opt.max_iter, 6), dtype),
             it=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             status=jnp.asarray(1, jnp.int32),
@@ -654,6 +663,11 @@ def make_ip_solver(
                 ),
             )
 
+            trace_row = jnp.stack([E0, mu, alpha, delta_w, theta0, phi0])
+            trace_n = lax.dynamic_update_slice(
+                st.trace, trace_row[None, :], (st.it, jnp.asarray(0, st.it.dtype))
+            )
+
             # freeze finished lanes (vmap-safe), record status transitions
             finished = st.done | newly_done | blown
             sel = lambda new, old: jnp.where(finished, old, new)
@@ -669,6 +683,7 @@ def make_ip_solver(
                 dreg=sel(dreg_n, st.dreg),
                 th_f=jnp.where(finished, st.th_f, th_f_new),
                 ph_f=jnp.where(finished, st.ph_f, ph_f_new),
+                trace=jnp.where(finished, st.trace, trace_n),
                 it=jnp.where(finished, st.it, st.it + 1),
                 done=finished,
                 status=jnp.where(
@@ -711,6 +726,7 @@ def make_ip_solver(
             iterations=final.it,
             kkt_error=kkt,
             mu=final.mu,
+            trace=final.trace,
         )
 
     return solve

@@ -58,7 +58,7 @@ def main():
     # FIXED slots for this problem: [x(0), t_0, t_f] (x_f is FUNC-free)
     bc_vals[:, 0] = rng.uniform(0.5, 1.5, B)
 
-    opts = IPOptions(tol=2e-5, max_iter=60, refine_steps=1)
+    opts = IPOptions(tol=5e-6, max_iter=80, refine_steps=1)
     t0 = time.time()
     res = ipm.solve_batch(
         system, x0_batch, bc_overrides=(jnp.asarray(bc_vals),), optimizer_options=opts

@@ -25,4 +25,34 @@ __version__ = "0.1.0"
 
 from pockit_tpu import numerics  # noqa: F401
 
-__all__ = ["numerics", "__version__"]
+
+def __getattr__(name):
+    # lazy subpackage access (pockit_tpu.lobatto, .radau, .optimizer, ...)
+    # without importing jax-heavy modules at package import time
+    if name in {
+        "lobatto",
+        "radau",
+        "optimizer",
+        "solver",
+        "parallel",
+        "transcription",
+        "utils",
+        "base",
+    }:
+        import importlib
+
+        return importlib.import_module(f"pockit_tpu.{name}")
+    raise AttributeError(f"module 'pockit_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "numerics",
+    "lobatto",
+    "radau",
+    "optimizer",
+    "solver",
+    "parallel",
+    "transcription",
+    "utils",
+    "__version__",
+]

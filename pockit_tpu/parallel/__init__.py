@@ -7,5 +7,12 @@ boundary-condition / homotopy instances), sharded over the mesh with
 """
 
 from pockit_tpu.parallel.sharding import make_sharded_batch_solver
+from pockit_tpu.parallel.distributed import initialize_distributed, instance_mesh
+from pockit_tpu.parallel.homotopy import homotopy_sweep
 
-__all__ = ["make_sharded_batch_solver"]
+__all__ = [
+    "make_sharded_batch_solver",
+    "initialize_distributed",
+    "instance_mesh",
+    "homotopy_sweep",
+]

@@ -86,8 +86,10 @@ def main():
     status = np.asarray(res.status)
     conv = float((status == 0).mean())
     obj = np.asarray(res.obj)
-    # nominal-instance parity: find instance closest to x(0)=1
-    i_nom = int(np.argmin(np.abs(bc_vals[:, 0] - 1.0)))
+    # objective parity: LQR cost scales as x(0)^2, so every instance has
+    # the analytic value J(1) * x0^2 with J(1) the published IPOPT objective
+    J1 = 0.2319139744522318
+    parity_err = float(np.max(np.abs(obj - J1 * bc_vals[:, 0] ** 2)))
     solves_per_s = B / dt
 
     print(
@@ -102,7 +104,7 @@ def main():
                 "wall_s_per_batch": round(dt, 4),
                 "compile_s": round(compile_and_first, 1),
                 "mean_iters": float(np.asarray(res.iterations).mean()),
-                "obj_nominal": float(obj[i_nom]),
+                "max_objective_parity_error": parity_err,
             }
         )
     )

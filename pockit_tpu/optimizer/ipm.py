@@ -27,6 +27,7 @@ _STATUS_MSG = {
     0: b"Solve Succeeded (KKT error below tolerance).",
     1: b"Maximum number of iterations reached.",
     2: b"Iterates diverged.",
+    3: b"Problem appears locally infeasible (restoration stalled).",
 }
 
 

@@ -47,7 +47,9 @@ class Bounds(NamedTuple):
 
 
 class IPResult(NamedTuple):
-    """Solver output. ``status``: 0 converged, 1 max-iter, 2 diverged.
+    """Solver output. ``status``: 0 converged, 1 max-iter, 2 diverged,
+    3 locally infeasible (restoration stalled with significant constraint
+    violation).
 
     ``trace`` holds per-iteration solver metrics with columns
     [kkt_error, mu, alpha, delta_w, theta, phi] (rows past ``iterations``
@@ -79,6 +81,8 @@ class _State(NamedTuple):
     th_f: jax.Array  # filter theta entries (_FILTER_SIZE,)
     ph_f: jax.Array  # filter phi entries
     trace: jax.Array  # (max_iter, 6) per-iteration metrics
+    rejects: jax.Array  # consecutive fully-rejected iterations
+    resets: jax.Array  # multiplier resets performed
     it: jax.Array
     done: jax.Array
     status: jax.Array
@@ -243,6 +247,8 @@ def make_ip_solver(
             th_f=th_f0,
             ph_f=ph_f0,
             trace=jnp.zeros((opt.max_iter, 6), dtype),
+            rejects=jnp.asarray(0, jnp.int32),
+            resets=jnp.asarray(0, jnp.int32),
             it=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             status=jnp.asarray(1, jnp.int32),
@@ -436,6 +442,9 @@ def make_ip_solver(
                 return Jdz_, dy_, ds_
 
             Jdz, dy, ds = _expand(dz)
+            dy_cap = 1e3 * (one + jnp.max(jnp.abs(y), initial=0.0))
+            dy_norm = jnp.max(jnp.abs(dy), initial=0.0)
+            dy = dy * jnp.minimum(1.0, dy_cap / jnp.maximum(dy_norm, 1e-30))
             dw_l = jnp.where(has_zl, mu * inv_al - w_l - w_l * inv_al * dz, 0.0)
             dw_u = jnp.where(has_zu, mu * inv_au - w_u + w_u * inv_au * dz, 0.0)
             dv_l = jnp.where(has_cl, mu * inv_bl - v_l - v_l * inv_bl * ds, 0.0)
@@ -649,6 +658,22 @@ def make_ip_solver(
                 has_cu, jnp.clip(v_u_n, mu / (kap * bu_n), kap * mu / bu_n), 0.0
             )
 
+            rejects_n = jnp.where(took_step, 0, st.rejects + 1)
+            do_reset = rejects_n >= 5
+            # a second stall after a multiplier reset with significant
+            # constraint violation indicates local infeasibility: the
+            # feasibility fallback cannot reduce theta from this point
+            infeasible = do_reset & (st.resets >= 1) & (theta0 > 1e3 * opt.tol)
+            resets_n = st.resets + jnp.where(do_reset, 1, 0)
+            y_n = jnp.where(do_reset, 0.0, y_n)
+            w_l_n = jnp.where(do_reset & has_zl, mu / al_n, w_l_n)
+            w_u_n = jnp.where(do_reset & has_zu, mu / au_n, w_u_n)
+            v_l_n = jnp.where(do_reset & has_cl, mu / bl_n, v_l_n)
+            v_u_n = jnp.where(do_reset & has_cu, mu / bu_n, v_u_n)
+            th_f_new = jnp.where(do_reset, th_f0, th_f_new)
+            ph_f_new = jnp.where(do_reset, ph_f0, ph_f_new)
+            rejects_n = jnp.where(do_reset, 0, rejects_n)
+
             # regularization memory, Levenberg-Marquardt style: decay
             # gently when the Newton step was accepted, escalate moderately
             # when it was rejected (the fallback counts as a rejection of
@@ -662,6 +687,7 @@ def make_ip_solver(
                     jnp.maximum(delta_w, delta_w_floor) * 10.0, opt.delta_w_max
                 ),
             )
+            dreg_n = jnp.where(do_reset, 0.0, dreg_n)
 
             trace_row = jnp.stack([E0, mu, alpha, delta_w, theta0, phi0])
             trace_n = lax.dynamic_update_slice(
@@ -669,7 +695,7 @@ def make_ip_solver(
             )
 
             # freeze finished lanes (vmap-safe), record status transitions
-            finished = st.done | newly_done | blown
+            finished = st.done | newly_done | blown | infeasible
             sel = lambda new, old: jnp.where(finished, old, new)
             return _State(
                 z=sel(z_n, z),
@@ -684,12 +710,20 @@ def make_ip_solver(
                 th_f=jnp.where(finished, st.th_f, th_f_new),
                 ph_f=jnp.where(finished, st.ph_f, ph_f_new),
                 trace=jnp.where(finished, st.trace, trace_n),
+                rejects=jnp.where(finished, st.rejects, rejects_n),
+                resets=jnp.where(finished, st.resets, resets_n),
                 it=jnp.where(finished, st.it, st.it + 1),
                 done=finished,
                 status=jnp.where(
                     st.done,
                     st.status,
-                    jnp.where(newly_done, 0, jnp.where(blown, 2, st.status)),
+                    jnp.where(
+                        newly_done,
+                        0,
+                        jnp.where(
+                            blown, 2, jnp.where(infeasible, 3, st.status)
+                        ),
+                    ),
                 ).astype(jnp.int32),
                 kkt=jnp.where(st.done, st.kkt, E0),
             )

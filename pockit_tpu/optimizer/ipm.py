@@ -49,6 +49,20 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
         cache = {}
         compiled._ipm_cache = cache
     if options not in cache:
+        structured = None
+        if options.kkt_solver == "structured":
+            from pockit_tpu.solver.structured import structured_layout
+
+            structured = structured_layout(system)
+            if structured is None:
+                import warnings
+
+                warnings.warn(
+                    "structured KKT solver requested but the problem does "
+                    "not fit the block-arrow pattern (non-uniform degrees, "
+                    "system constraints, or nonlinear-in-integral "
+                    "objective); falling back to the dense solver"
+                )
         cache[options] = jax.jit(
             make_ip_solver(
                 compiled.objective_fn,
@@ -56,6 +70,7 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
                 compiled.L,
                 compiled.m,
                 options,
+                structured=structured,
             )
         )
     bounds = Bounds(

@@ -112,6 +112,7 @@ def make_ip_solver(
     n: int,
     m: int,
     options: IPOptions = IPOptions(),
+    structured=None,
 ):
     """Build a jittable ``solve(z0, bounds, rt)`` for the NLP
 
@@ -120,8 +121,19 @@ def make_ip_solver(
     ``rt`` is an arbitrary pytree threaded through to the callables (used
     for per-instance problem parameters in batched sweeps). Derivatives are
     taken by JAX AD here, so callers supply only values.
+
+    ``structured`` is an optional
+    :class:`pockit_tpu.solver.structured.StructuredLayout`; when given and
+    ``options.kkt_solver == "structured"``, KKT systems are solved with the
+    interval-Schur factorization (O(N n³)) instead of a dense Cholesky
+    (O(L³)).
     """
     opt = options
+    use_structured = structured is not None and opt.kkt_solver == "structured"
+    if use_structured:
+        from pockit_tpu.solver.structured import make_structured_factor
+
+        _s_factor, _s_apply = make_structured_factor(structured)
 
     grad_fn = jax.grad(f_fn)
 
@@ -366,31 +378,67 @@ def make_ip_solver(
             eye = jnp.eye(n, dtype=dtype)
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
+            if use_structured:
+
+                def lin_factor(K):
+                    factors, p_min, p_max = _s_factor(K)
+                    ok = (
+                        jnp.isfinite(p_min)
+                        & jnp.isfinite(p_max)
+                        & (p_min > pivot_rtol * p_max)
+                    )
+                    return factors, ok
+
+                lin_apply = _s_apply
+                import jax as _jax
+
+                _fshape = _jax.eval_shape(
+                    lambda K: _s_factor(K)[0],
+                    jax.ShapeDtypeStruct((n, n), dtype),
+                )
+                factors0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), _fshape
+                )
+            else:
+
+                def lin_factor(K):
+                    # Jacobi equilibration: K carries an intrinsic ~1/delta_c
+                    # spread between constraint-normal and tangential
+                    # directions which would destroy a float32 Cholesky; the
+                    # spread sits on the diagonal, so symmetric diagonal
+                    # scaling removes most of it and the pivot test sees the
+                    # *scaled* conditioning
+                    sc = lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
+                    Kt = K * sc[:, None] * sc[None, :]
+                    Lc = jnp.linalg.cholesky(Kt)
+                    diag = jnp.diagonal(Lc)
+                    chol_ok = jnp.all(jnp.isfinite(diag)) & (
+                        jnp.min(diag) > pivot_rtol * jnp.max(diag)
+                    )
+                    Lc_safe = jnp.where(chol_ok, Lc, eye)
+                    return (Lc_safe, sc), chol_ok
+
+                def lin_apply(fac, b):
+                    Lc, sc = fac
+                    t = jax.scipy.linalg.solve_triangular(
+                        Lc, sc * b, lower=True
+                    )
+                    return sc * jax.scipy.linalg.solve_triangular(
+                        Lc.T, t, lower=False
+                    )
+
+                factors0 = (eye, jnp.ones((n,), dtype))
+
             def _try(delta):
-                # Jacobi equilibration: K carries an intrinsic ~1/delta_c
-                # spread between constraint-normal and tangential directions
-                # which would destroy a float32 Cholesky; the spread sits on
-                # the diagonal, so symmetric diagonal scaling removes most
-                # of it and the pivot test sees the *scaled* conditioning
                 K = K0 + delta * eye
-                sc = lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
-                Kt = K * sc[:, None] * sc[None, :]
-                Lc = jnp.linalg.cholesky(Kt)
-                diag = jnp.diagonal(Lc)
-                chol_ok = jnp.all(jnp.isfinite(diag)) & (
-                    jnp.min(diag) > pivot_rtol * jnp.max(diag)
-                )
-                Lc_safe = jnp.where(chol_ok, Lc, eye)
-                t = jax.scipy.linalg.solve_triangular(Lc_safe, sc * rhs, lower=True)
-                dz = sc * jax.scipy.linalg.solve_triangular(
-                    Lc_safe.T, t, lower=False
-                )
+                fac, chol_ok = lin_factor(K)
+                dz = lin_apply(fac, rhs)
                 ok = (
                     chol_ok
                     & jnp.all(jnp.isfinite(dz))
                     & (jnp.linalg.norm(dz) <= step_cap)
                 )
-                return (Lc_safe, sc), dz, ok
+                return fac, dz, ok
 
             def reg_cond(carry):
                 return (~carry[3]) & (carry[4] < opt.max_reg_tries)
@@ -409,14 +457,14 @@ def make_ip_solver(
                         ),
                     ),
                 )
-                Lc_sc, dz, ok = _try(delta_new)
-                return Lc_sc, dz, delta_new, ok, tries + 1
+                fac, dz, ok = _try(delta_new)
+                return fac, dz, delta_new, ok, tries + 1
 
-            (Lc, sc_eq), dz, delta_w, reg_ok, _ = lax.while_loop(
+            fac_k, dz, delta_w, reg_ok, _ = lax.while_loop(
                 reg_cond,
                 reg_body,
                 (
-                    (eye, jnp.ones((n,), dtype)),
+                    factors0,
                     jnp.zeros((n,), dtype),
                     st.dreg,
                     jnp.asarray(False),
@@ -425,10 +473,7 @@ def make_ip_solver(
             )
 
             def chol_solve(b):
-                t = jax.scipy.linalg.solve_triangular(Lc, sc_eq * b, lower=True)
-                return sc_eq * jax.scipy.linalg.solve_triangular(
-                    Lc.T, t, lower=False
-                )
+                return lin_apply(fac_k, b)
 
             for _ in range(opt.refine_steps):
                 K_reg = K0 + delta_w * eye

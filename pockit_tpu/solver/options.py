@@ -47,6 +47,10 @@ class IPOptions:
     refine_steps: int = 1
     # watchdog: declare divergence when primal iterates blow up
     diverge_threshold: float = 1e20
+    # KKT linear solver: "dense" (Cholesky of the full condensed matrix)
+    # or "structured" (interval-Schur block-arrow factorization; requires a
+    # StructuredLayout passed to make_ip_solver)
+    kkt_solver: str = "dense"
     # matmul precision for the whole solve ('highest' forces true float32
     # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
     # passes — fatal for Cholesky factorizations)

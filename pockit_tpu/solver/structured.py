@@ -1,0 +1,232 @@
+"""Structured KKT solve: interval-interior elimination + border Schur.
+
+The condensed interior-point matrix ``K = W + Σ_z + δ_w I + Jᵀ D J`` of a
+collocation NLP is block-arrow by construction (SURVEY §5 "long-context"
+analog): collocation points couple only within their subinterval (the
+``T``/``I`` blocks are interval-local and every nonlinear function is
+pointwise), adjacent intervals touch only through shared border points,
+and the time variables ``t_0, t_f`` plus the static parameters couple
+everything (the "arrow"). For a phase with N uniform intervals:
+
+    columns = interiors(N x n_int, disjoint)  ∪  reduced(borders + arrow)
+
+so K factors by eliminating every interval interior *in parallel* — one
+batched Cholesky of N small (n_int x n_int) blocks, MXU-shaped — followed
+by a dense solve of the small reduced Schur complement:
+
+    S = K_rr - Σ_i K_ri K_ii^{-1} K_ir.
+
+Cost: O(N n_int³ + n_red³) instead of the dense O(L³) — for a 40x10 mesh
+that is ~500x fewer flops, and the per-interval blocks batch perfectly.
+
+Validity requires the block-arrow pattern to be exact, which holds when
+the system objective and system constraints are *linear in the integral
+symbols* (nonlinear-in-I terms add a low-rank dense coupling; those
+problems fall back to the dense path). ``structured_layout`` checks the
+structural preconditions and the pattern is oracle-tested against dense
+AD in the test suite.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+
+class StructuredLayout(NamedTuple):
+    """Static index layout of the block-arrow pattern."""
+
+    interior: np.ndarray  # (n_blocks, n_int) global column indices
+    reduced: np.ndarray  # (n_red,) global column indices (borders + arrow)
+
+
+def structured_layout(system) -> Optional[StructuredLayout]:
+    """Compute the block-arrow layout of a compiled system's KKT matrix.
+
+    Returns ``None`` when the structured path does not apply: non-uniform
+    interval degrees within a phase, system constraint rows, or an
+    objective nonlinear in the integral symbols.
+    """
+    # precondition: objective linear in every integral symbol
+    expr = sp.sympify(system._expr_objective)
+    for p in system.p:
+        for I_sym in p.I:
+            if sp.diff(expr, I_sym, 2) != 0:
+                return None
+            for other in p.I:
+                if other is not I_sym and sp.diff(expr, I_sym, other) != 0:
+                    return None
+    # precondition: no system-constraint rows (dense row coupling)
+    if system.n_c > 0:
+        return None
+
+    interior_blocks = []
+    reduced = []
+    for pi, p in enumerate(system.p):
+        d = p.d
+        off = int(system.l_p[pi])
+        if len(set(int(n) for n in d.num_point)) != 1:
+            return None  # non-uniform degrees: block sizes differ
+        # per variable, per interval: interior vs border indices
+        per_interval = [[] for _ in range(d.N)]
+        for v in range(p.n):
+            base = off + int(d.l_v[v])
+            is_state = v < p.n_x
+            if d.family == "lobatto" or is_state:
+                # shared borders: interval i occupies [l_x[i], r_x[i])
+                l_idx, r_idx = (d.l_x, d.r_x) if is_state else (d.l_u, d.r_u)
+                if d.family == "lobatto":
+                    l_idx, r_idx = d.l_m, d.r_m
+                borders = set()
+                for i in range(d.N):
+                    borders.add(int(l_idx[i]))
+                    borders.add(int(r_idx[i]) - 1)
+                for i in range(d.N):
+                    for k in range(int(l_idx[i]), int(r_idx[i])):
+                        if k in borders:
+                            continue
+                        per_interval[i].append(base + k)
+                reduced.extend(base + k for k in sorted(borders))
+            else:
+                # radau controls: fully interval-local, no sharing
+                for i in range(d.N):
+                    for k in range(int(d.l_u[i]), int(d.r_u[i])):
+                        per_interval[i].append(base + k)
+        # t_0, t_f are arrow columns
+        reduced.extend([off + d.L - 2, off + d.L - 1])
+        sizes = {len(b) for b in per_interval}
+        if len(sizes) != 1:
+            return None
+        interior_blocks.extend(per_interval)
+
+    # statics tail
+    reduced.extend(range(int(system.l_s), int(system.r_s)))
+
+    sizes = {len(b) for b in interior_blocks}
+    if len(sizes) != 1 or 0 in sizes:
+        return None
+    interior = np.array(interior_blocks, dtype=np.int32)
+    reduced = np.array(sorted(reduced), dtype=np.int32)
+    # sanity: partition covers all columns exactly once
+    all_idx = np.concatenate([interior.ravel(), reduced])
+    if len(np.unique(all_idx)) != system.L or len(all_idx) != system.L:
+        return None
+    return StructuredLayout(interior=interior, reduced=reduced)
+
+
+def pattern_violation(K, layout: StructuredLayout) -> jax.Array:
+    """Largest |K| entry outside the assumed block-arrow pattern (oracle
+    check: must be ~0 for the structured solve to be exact)."""
+    K = jnp.asarray(K)
+    L = K.shape[0]
+    owner = jnp.full((L,), -1, dtype=jnp.int32)
+    for b in range(layout.interior.shape[0]):
+        owner = owner.at[layout.interior[b]].set(b)
+    in_reduced = jnp.zeros((L,), dtype=bool).at[layout.reduced].set(True)
+    ow_i = owner[:, None]
+    ow_j = owner[None, :]
+    allowed = (
+        in_reduced[:, None]
+        | in_reduced[None, :]
+        | ((ow_i == ow_j) & (ow_i >= 0))
+    )
+    return jnp.max(jnp.where(allowed, 0.0, jnp.abs(K)))
+
+
+def make_structured_factor(layout: StructuredLayout):
+    """Build ``(factor, apply)``:
+
+    - ``factor(K) -> (factors, pivot_min, pivot_max)`` eliminates all
+      interval interiors with one batched Cholesky and factors the reduced
+      border+arrow Schur complement; the pivot extrema across both levels
+      are the inertia/conditioning signal the interior-point
+      regularization loop consumes.
+    - ``apply(factors, rhs) -> x`` back-solves for any right-hand side.
+
+    The factors are a flat pytree of arrays, so they thread through
+    ``lax.while_loop`` state and one factorization serves the Newton step,
+    its iterative refinement, second-order corrections, and the
+    feasibility fallback. Jacobi equilibration is applied per level for
+    float32 robustness.
+    """
+    interior = jnp.asarray(layout.interior)  # (nb, ni)
+    reduced = jnp.asarray(layout.reduced)  # (nr,)
+
+    def factor(K):
+        K_ii = K[interior[:, :, None], interior[:, None, :]]  # (nb, ni, ni)
+        K_ir = K[interior[:, :, None], reduced[None, None, :]]  # (nb, ni, nr)
+        K_rr = K[reduced[:, None], reduced[None, :]]  # (nr, nr)
+
+        sc_i = jax.lax.rsqrt(
+            jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
+        )  # (nb, ni)
+        K_ii_t = K_ii * sc_i[:, :, None] * sc_i[:, None, :]
+        L_i = jnp.linalg.cholesky(K_ii_t)
+        diag_i = jnp.diagonal(L_i, axis1=1, axis2=2)
+
+        def blk_solve(L_i, sc_i, B):
+            Bs = B * sc_i[:, :, None]
+            t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
+            X = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L_i, 1, 2), t, lower=False
+            )
+            return X * sc_i[:, :, None]
+
+        L_i_safe = jnp.where(jnp.isfinite(L_i), L_i, jnp.eye(L_i.shape[-1], dtype=K.dtype))
+        X_ir = blk_solve(L_i_safe, sc_i, K_ir)  # K_ii^{-1} K_ir
+
+        S = K_rr - jnp.einsum("bik,bil->kl", K_ir, X_ir)
+        sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+        S_t = S * sc_r[:, None] * sc_r[None, :]
+        L_r = jnp.linalg.cholesky(S_t)
+        diag_r = jnp.diagonal(L_r)
+        L_r_safe = jnp.where(jnp.isfinite(L_r), L_r, jnp.eye(L_r.shape[-1], dtype=K.dtype))
+
+        pivots = jnp.concatenate([diag_i.ravel(), diag_r])
+        finite = jnp.all(jnp.isfinite(pivots))
+        p_min = jnp.where(finite, jnp.min(pivots), jnp.nan)
+        p_max = jnp.where(finite, jnp.max(pivots), jnp.nan)
+        factors = (L_i_safe, sc_i, X_ir, K_ir, L_r_safe, sc_r)
+        return factors, p_min, p_max
+
+    def apply(factors, rhs):
+        L_i, sc_i, X_ir, K_ir, L_r, sc_r = factors
+        b_i = rhs[interior]  # (nb, ni)
+        b_r = rhs[reduced]  # (nr,)
+
+        Bs = b_i[:, :, None] * sc_i[:, :, None]
+        t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
+        x_bi = (
+            jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L_i, 1, 2), t, lower=False
+            )
+            * sc_i[:, :, None]
+        )[:, :, 0]
+
+        r_red = b_r - jnp.einsum("bik,bi->k", K_ir, x_bi)
+        t = jax.scipy.linalg.solve_triangular(L_r, sc_r * r_red, lower=True)
+        x_r = sc_r * jax.scipy.linalg.solve_triangular(L_r.T, t, lower=False)
+
+        x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
+        x = jnp.zeros_like(rhs)
+        x = x.at[interior.ravel()].set(x_i.ravel())
+        x = x.at[reduced].set(x_r)
+        return x
+
+    return factor, apply
+
+
+def make_structured_solve(layout: StructuredLayout):
+    """One-shot ``solve(K, rhs) -> (x, pivot_min, pivot_max)`` convenience
+    wrapper over :func:`make_structured_factor`."""
+    factor, apply = make_structured_factor(layout)
+
+    def solve(K, rhs):
+        factors, p_min, p_max = factor(K)
+        return apply(factors, rhs), p_min, p_max
+
+    return solve

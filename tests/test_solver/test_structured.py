@@ -1,0 +1,143 @@
+"""Structured (interval-Schur) KKT solve vs the dense oracle.
+
+Builds real KKT matrices K = W + Σ_z + Jᵀ D J from compiled systems
+(random multipliers/weights), asserts the block-arrow pattern is exact,
+and checks the structured solve matches the dense solve to roundoff.
+"""
+
+import numpy as np
+import pytest
+import sympy as sp
+
+import pockit_tpu.lobatto as lobatto
+import pockit_tpu.radau as radau
+from pockit_tpu.solver.structured import (
+    make_structured_solve,
+    pattern_violation,
+    structured_layout,
+)
+
+
+def _orbit(mod, mesh=5, deg=6):
+    system = mod.System(["r_f"])
+    (r_f,) = system.s
+    phase = system.new_phase(["r", "u", "v"], ["phi"])
+    r, u, v = phase.x
+    (phi,) = phase.u
+    t = phase.t
+    acc = 0.1405 / (1 - 0.0749 * t)
+    phase.set_dynamics(
+        [
+            u,
+            v**2 / r - 1 / r**2 + acc * sp.sin(phi),
+            -u * v / r + acc * sp.cos(phi),
+        ]
+    )
+    phase.set_phase_constraint([phi + 0.1 * r], [-10.0], [10.0])
+    phase.set_boundary_condition(
+        [1.0, 0.0, 1.0], [r_f, 0.0, 1 / sp.sqrt(r_f)], 0.0, 3.32
+    )
+    phase.set_discretization(mesh, deg)
+    system.set_phase([phase])
+    system.set_objective(-r_f)
+    return system, phase
+
+
+def _lqr():
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(6, 8)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    return system, phase
+
+
+def _build_K(system, seed=0):
+    rng = np.random.default_rng(seed)
+    compiled = system.compiled
+    L, m = compiled.L, compiled.m
+    z = rng.uniform(0.5, 1.2, L)
+    lam = rng.normal(0, 1, m)
+    W = np.asarray(system.compiled.hessian(z, lam, 1.0))
+    J = np.asarray(system.compiled.jacobian(z))
+    D = rng.uniform(0.1, 10.0, m)
+    sigma = rng.uniform(0.01, 5.0, L)
+    K = W + np.diag(sigma) + (J.T * D) @ J
+    # make it PD so the Cholesky-based solves apply
+    evals = np.linalg.eigvalsh(K)
+    if evals.min() < 1e-6:
+        K = K + (1e-3 - min(evals.min(), 0)) * np.eye(L)
+    return K
+
+
+@pytest.mark.parametrize(
+    "builder", [lambda: _orbit(lobatto), lambda: _orbit(radau), _lqr],
+    ids=["orbit-lobatto", "orbit-radau", "lqr"],
+)
+def test_structured_matches_dense(builder):
+    system, phase = builder()
+    layout = structured_layout(system)
+    assert layout is not None
+    K = _build_K(system)
+    # the block-arrow pattern must be exact
+    assert float(pattern_violation(K, layout)) < 1e-10
+
+    rng = np.random.default_rng(1)
+    rhs = rng.normal(size=system.L)
+    solve = make_structured_solve(layout)
+    x, p_min, p_max = solve(K, rhs)
+    x_dense = np.linalg.solve(K, rhs)
+    np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-8, atol=1e-9)
+    assert float(p_min) > 0
+
+
+def test_layout_rejects_unsupported():
+    # nonlinear-in-I objective
+    system, phase = _lqr()
+    (x_f,) = system.s
+    system.set_objective(phase.I[0] ** 2)
+    assert structured_layout(system) is None
+    # system constraint rows
+    system2, phase2 = _lqr()
+    system2.set_system_constraint([phase2.I[0]], [0.0], [10.0])
+    assert structured_layout(system2) is None
+    # non-uniform degrees
+    system3, phase3 = _lqr()
+    phase3.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))
+    system3.update()
+    assert structured_layout(system3) is None
+
+
+def test_multiphase_layout():
+    """Two linked phases: each phase contributes its own blocks; statics
+    and both time pairs land in the reduced set."""
+    system = lobatto.System(["x_a"])
+    (x_a,) = system.s
+    phases = []
+    for bc0, bcf, t0, t1 in [(1.0, x_a, 0.0, 0.5), (x_a, None, 0.5, 1.0)]:
+        ph = system.new_phase(["x"], ["u"])
+        (x,) = ph.x
+        (u,) = ph.u
+        ph.set_dynamics([-x + u])
+        ph.set_integral([x**2 + u**2])
+        ph.set_boundary_condition([bc0], [bcf], t0, t1)
+        ph.set_discretization(3, 7)
+        phases.append(ph)
+    system.set_phase(phases)
+    system.set_objective(phases[0].I[0] + phases[1].I[0])
+    layout = structured_layout(system)
+    assert layout is not None
+    K = _build_K(system, seed=3)
+    assert float(pattern_violation(K, layout)) < 1e-10
+    rhs = np.random.default_rng(2).normal(size=system.L)
+    solve = make_structured_solve(layout)
+    x, p_min, _ = solve(K, rhs)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(K, rhs), rtol=1e-8, atol=1e-9
+    )

@@ -6,6 +6,14 @@ points — the reference's headline configuration, ``/root/reference/
 README.md:70-89``) with perturbed initial conditions, using the native
 batched interior-point solver in float32 on the TPU.
 
+Methodology notes:
+- every timed repetition uses DIFFERENT boundary-condition draws (the
+  execution environment may cache identical requests end-to-end, which
+  would inflate the number);
+- the batch drains in two stages: a short-iteration first pass plus a
+  straggler pass, because one slow lane otherwise holds the whole batch
+  in the while_loop (wall time follows the max, not the mean).
+
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": "solves/s", "vs_baseline": ...}
 vs_baseline is measured against the BASELINE.json target of 4096 batched
@@ -44,54 +52,81 @@ def main():
 
     from pockit_tpu.optimizer import ipm
     from pockit_tpu.optimizer._common import preprocess
-    from pockit_tpu.solver import Bounds, IPOptions
+    from pockit_tpu.solver import IPOptions
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    n_rep = 3
     system, phase, guess = build_lqr()
     x0, _ = preprocess(system, [guess, [0.0]])
     compiled = system.compiled
+    x0b = jnp.asarray(np.tile(x0, (B, 1)))
 
-    # per-instance perturbed initial condition x(0) in [0.5, 1.5]
     rng = np.random.default_rng(0)
-    x0_batch = np.tile(x0, (B, 1))
-    bc_vals = np.tile(compiled.phases[0].fixed_vals, (B, 1))
-    # FIXED slots for this problem: [x(0), t_0, t_f] (x_f is FUNC-free)
-    bc_vals[:, 0] = rng.uniform(0.5, 1.5, B)
 
-    opts = IPOptions(tol=5e-6, max_iter=80, refine_steps=1)
-    t0 = time.time()
-    res = ipm.solve_batch(
-        system, x0_batch, bc_overrides=(jnp.asarray(bc_vals),), optimizer_options=opts
-    )
-    jax.block_until_ready(res)
-    compile_and_first = time.time() - t0
+    def draw_bc():
+        bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
+        bc[:, 0] = rng.uniform(0.5, 1.5, B)
+        return bc
 
-    def run():
-        r = ipm.solve_batch(
-            system,
-            x0_batch,
-            bc_overrides=(jnp.asarray(bc_vals),),
-            optimizer_options=opts,
+    # two-stage drain: short first pass over the full batch, then compact
+    # the unconverged stragglers into a small fixed-size batch and finish
+    # them there — the while_loop's wall time follows the worst lane, so
+    # letting a few stragglers hold 4096 lanes hostage wastes the chip
+    opts_fast = IPOptions(tol=5e-6, max_iter=12, refine_steps=1)
+    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=1)
+    B_drain = max(B // 8, 8)
+
+    def solve_all(bc):
+        res = ipm.solve_batch(
+            system, x0b, bc_overrides=(jnp.asarray(bc),), optimizer_options=opts_fast
         )
-        jax.block_until_ready(r)
-        return r
+        status = np.array(res.status)
+        obj = np.array(res.obj)
+        iters = np.array(res.iterations)
+        z = np.array(res.z)
+        done1 = status == 0
 
-    # timed runs
-    n_rep = 3
+        pending = np.where(status != 0)[0]
+        rounds = 0
+        while len(pending) and rounds < 4:
+            take = pending[:B_drain]
+            idx = np.resize(take, B_drain)  # pad by repeating stragglers
+            res2 = ipm.solve_batch(
+                system,
+                z[idx],
+                bc_overrides=(jnp.asarray(bc[idx]),),
+                optimizer_options=opts_drain,
+            )
+            st2 = np.asarray(res2.status)
+            ob2 = np.asarray(res2.obj)
+            it2 = np.asarray(res2.iterations)
+            uniq = len(take)
+            status[take] = st2[:uniq]
+            obj[take] = ob2[:uniq]
+            iters[take] = iters[take] + it2[:uniq]
+            pending = pending[uniq:]
+            rounds += 1
+        return status, obj, iters, done1
+
     t0 = time.time()
-    for _ in range(n_rep):
-        res = run()
-    dt = (time.time() - t0) / n_rep
+    solve_all(draw_bc())
+    compile_s = time.time() - t0
 
-    status = np.asarray(res.status)
-    conv = float((status == 0).mean())
-    obj = np.asarray(res.obj)
-    # objective parity: LQR cost scales as x(0)^2, so every instance has
-    # the analytic value J(1) * x0^2 with J(1) the published IPOPT objective
+    walls, convs, objs, iter_means, frac_first = [], [], [], [], []
     J1 = 0.2319139744522318
-    parity_err = float(np.max(np.abs(obj - J1 * bc_vals[:, 0] ** 2)))
-    solves_per_s = B / dt
+    for _ in range(n_rep):
+        bc = draw_bc()
+        t0 = time.time()
+        status, obj, iters, done1 = solve_all(bc)
+        walls.append(time.time() - t0)
+        convs.append(float((np.asarray(status) == 0).mean()))
+        # LQR cost scales as x(0)^2: analytic parity per instance
+        objs.append(float(np.max(np.abs(np.asarray(obj) - J1 * bc[:, 0] ** 2))))
+        iter_means.append(float(np.asarray(iters).mean()))
+        frac_first.append(float(np.asarray(done1).mean()))
 
+    dt = float(np.median(walls))
+    solves_per_s = B / dt
     print(
         json.dumps(
             {
@@ -100,11 +135,12 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 4096.0, 3),
                 "batch": B,
-                "converged_frac": round(conv, 4),
+                "converged_frac": round(float(np.mean(convs)), 4),
                 "wall_s_per_batch": round(dt, 4),
-                "compile_s": round(compile_and_first, 1),
-                "mean_iters": float(np.asarray(res.iterations).mean()),
-                "max_objective_parity_error": parity_err,
+                "compile_s": round(compile_s, 1),
+                "mean_iters": round(float(np.mean(iter_means)), 2),
+                "first_pass_frac": round(float(np.mean(frac_first)), 3),
+                "max_objective_parity_error": float(np.max(objs)),
             }
         )
     )

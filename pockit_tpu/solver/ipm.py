@@ -475,10 +475,6 @@ def make_ip_solver(
             def chol_solve(b):
                 return lin_apply(fac_k, b)
 
-            for _ in range(opt.refine_steps):
-                K_reg = K0 + delta_w * eye
-                dz = dz - chol_solve(K_reg @ dz - rhs)
-
             def _expand(dz_):
                 """Recover slack/dual directions from a primal direction."""
                 Jdz_ = J @ dz_ if m else jnp.zeros((0,), dtype)
@@ -487,6 +483,38 @@ def make_ip_solver(
                 return Jdz_, dy_, ds_
 
             Jdz, dy, ds = _expand(dz)
+
+            # saddle-point iterative refinement: correct (dz, dy) against the
+            # TRUE (unperturbed) KKT system using the regularized
+            # factorization as a preconditioner. The dual regularization
+            # delta_c and the delta_w floor otherwise cap convergence at a
+            # linear rate ~ perturbation / smallest curvature (visible as
+            # float32 stalls); refining dz alone cannot help because the
+            # condensed operator embeds the perturbation. Skipped (kept as
+            # the plain perturbed step) when delta_w is an intentional
+            # inertia correction rather than a numerical floor.
+            if m:
+                A_diag = W + jnp.diag(sigma_z)
+                inv_sig_s = jnp.where(eq | (sigma_s <= 0.0), 0.0, 1.0 / jnp.where(sigma_s > 0.0, sigma_s, 1.0))
+                numerical_reg = delta_w <= 100.0 * delta_w_floor
+                for _ in range(opt.refine_steps):
+                    rho1 = -g_z - A_diag @ dz - delta_w * dz - J.T @ dy
+                    rho2 = -(r_c + Jdz) + jnp.where(
+                        eq, 0.0, (dy - g_s) * inv_sig_s
+                    )
+                    dzc = chol_solve(rho1 + J.T @ (D * rho2))
+                    dyc = D * ((J @ dzc) - rho2)
+                    scale = jnp.where(numerical_reg, 1.0, 0.0)
+                    dz = dz + scale * dzc
+                    dy = dy + scale * dyc
+                    Jdz = J @ dz
+                ds = jnp.where(eq, 0.0, Jdz + r_c)
+            else:
+                numerical_reg = delta_w <= 100.0 * delta_w_floor
+                delta_target = jnp.where(numerical_reg, 0.0, delta_w)
+                for _ in range(opt.refine_steps):
+                    K_ref = K0 + delta_target * eye
+                    dz = dz - chol_solve(K_ref @ dz - rhs)
             dy_cap = 1e3 * (one + jnp.max(jnp.abs(y), initial=0.0))
             dy_norm = jnp.max(jnp.abs(dy), initial=0.0)
             dy = dy * jnp.minimum(1.0, dy_cap / jnp.maximum(dy_norm, 1e-30))

@@ -44,7 +44,7 @@ class IPOptions:
     bound_relax: float = 1e-8  # relax bounds to avoid empty interior
     max_reg_tries: int = 10
     # iterative refinement of the condensed KKT solve (helps float32)
-    refine_steps: int = 1
+    refine_steps: int = 2
     # watchdog: declare divergence when primal iterates blow up
     diverge_threshold: float = 1e20
     # KKT linear solver: "dense" (Cholesky of the full condensed matrix)

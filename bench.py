@@ -72,8 +72,8 @@ def main():
     # the unconverged stragglers into a small fixed-size batch and finish
     # them there — the while_loop's wall time follows the worst lane, so
     # letting a few stragglers hold 4096 lanes hostage wastes the chip
-    opts_fast = IPOptions(tol=5e-6, max_iter=12, refine_steps=1)
-    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=1)
+    opts_fast = IPOptions(tol=5e-6, max_iter=8, refine_steps=3, max_ls=8)
+    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
     B_drain = max(B // 8, 8)
 
     def solve_all(bc):

@@ -173,3 +173,67 @@ def solve_batch(
     if key not in cache:
         cache[key] = jax.jit(jax.vmap(solve_fn))
     return cache[key](jnp.asarray(guess_batch), bounds, rt)
+
+
+def solve_batch_drained(
+    system: SystemBase,
+    guess_batch: np.ndarray,
+    bc_overrides=None,
+    optimizer_options: Optional[IPOptions] = None,
+    first_pass_iters: int = 8,
+    drain_frac: int = 8,
+    max_drain_rounds: int = 4,
+):
+    """Batched solve with straggler draining.
+
+    One ``lax.while_loop`` holds the whole batch until its slowest lane
+    converges, so a few hard instances dominate wall time. This runs a
+    short-iteration first pass over the full batch, then compacts the
+    unconverged lanes into a small (B/drain_frac) batch and finishes them
+    there. Returns ``(status, obj, iterations, z)`` as host numpy arrays.
+    """
+    import dataclasses
+
+    if optimizer_options is None:
+        optimizer_options = default_options()
+    opts_fast = dataclasses.replace(optimizer_options, max_iter=first_pass_iters)
+    B = guess_batch.shape[0]
+    B_drain = max(B // drain_frac, 8)
+
+    res = solve_batch(
+        system, guess_batch, bc_overrides=bc_overrides, optimizer_options=opts_fast
+    )
+    status = np.array(res.status)
+    obj = np.array(res.obj)
+    iters = np.array(res.iterations)
+    z = np.array(res.z)
+
+    compiled = system.compiled
+    if bc_overrides is None:
+        rt0 = compiled.default_runtime()
+        bc_full = tuple(
+            np.broadcast_to(np.asarray(v), (B,) + np.asarray(v).shape)
+            for v in rt0["bc"]
+        )
+    else:
+        bc_full = tuple(np.asarray(v) for v in bc_overrides)
+
+    pending = np.where(status != 0)[0]
+    rounds = 0
+    while len(pending) and rounds < max_drain_rounds:
+        take = pending[:B_drain]
+        idx = np.resize(take, B_drain)
+        res2 = solve_batch(
+            system,
+            z[idx],
+            bc_overrides=tuple(v[idx] for v in bc_full),
+            optimizer_options=optimizer_options,
+        )
+        uniq = len(take)
+        status[take] = np.asarray(res2.status)[:uniq]
+        obj[take] = np.asarray(res2.obj)[:uniq]
+        iters[take] = iters[take] + np.asarray(res2.iterations)[:uniq]
+        z[take] = np.asarray(res2.z)[:uniq]
+        pending = pending[uniq:]
+        rounds += 1
+    return status, obj, iters, z

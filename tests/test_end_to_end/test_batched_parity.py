@@ -67,3 +67,20 @@ def test_unknown_ipopt_option_warns():
     guess = lobatto.constant_guess(phase, 0)
     with pytest.warns(UserWarning, match="no equivalent"):
         ipopt.solve(system, [guess, [0.0]], {"derivative_test": "second-order"})
+
+
+def test_solve_batch_drained():
+    system, phase = _build(1.0)
+    guess = lobatto.constant_guess(phase, 0)
+    x0, _ = preprocess(system, [guess, [0.0]])
+    compiled = system.compiled
+    B = 24
+    rng = np.random.default_rng(5)
+    bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
+    bc[:, 0] = rng.uniform(0.5, 1.5, B)
+    status, obj, iters, z = ipm.solve_batch_drained(
+        system, np.tile(x0, (B, 1)), bc_overrides=(bc,), first_pass_iters=2
+    )
+    assert np.all(status == 0)
+    J1 = 0.2319139744522318
+    np.testing.assert_allclose(obj, J1 * bc[:, 0] ** 2, rtol=1e-6)

@@ -258,7 +258,7 @@ def make_ip_solver(
             dreg=jnp.asarray(0.0, dtype),
             th_f=th_f0,
             ph_f=ph_f0,
-            trace=jnp.zeros((opt.max_iter, 6), dtype),
+            trace=jnp.zeros((max(opt.max_iter, 1), 6), dtype),
             rejects=jnp.asarray(0, jnp.int32),
             resets=jnp.asarray(0, jnp.int32),
             it=jnp.asarray(0, jnp.int32),

@@ -114,7 +114,9 @@ def main():
 
     walls, convs, objs, iter_means, frac_first = [], [], [], [], []
     J1 = 0.2319139744522318
-    for _ in range(n_rep):
+    for rep in range(n_rep):
+        if rep > 0 and sum(walls) > 120.0:
+            break  # degraded interconnect: settle for fewer repetitions
         bc = draw_bc()
         t0 = time.time()
         status, obj, iters, done1 = solve_all(bc)
@@ -147,4 +149,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # emit a JSON line even on infrastructure failure
+        print(
+            json.dumps(
+                {
+                    "metric": "batched LQR solves/s (10x10 LGL mesh, f32 TPU)",
+                    "value": 0.0,
+                    "unit": "solves/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                }
+            )
+        )
+        raise

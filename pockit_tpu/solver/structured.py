@@ -38,31 +38,46 @@ import sympy as sp
 
 
 class StructuredLayout(NamedTuple):
-    """Static index layout of the block-arrow pattern."""
+    """Static index layout of the block-arrow pattern.
+
+    ``krylov_rank`` counts the dense low-rank coupling OUTSIDE the pattern
+    (system-constraint rows, nonlinear-in-integral objective terms): 0 means
+    the pattern is exact and one factor/apply pass solves K; r > 0 means
+    the pattern factorization is used as a preconditioner for r + 2 CG
+    steps, which eliminates a rank-r discrepancy exactly.
+    """
 
     interior: np.ndarray  # (n_blocks, n_int) global column indices
     reduced: np.ndarray  # (n_red,) global column indices (borders + arrow)
+    krylov_rank: int = 0
 
 
 def structured_layout(system) -> Optional[StructuredLayout]:
     """Compute the block-arrow layout of a compiled system's KKT matrix.
 
-    Returns ``None`` when the structured path does not apply: non-uniform
-    interval degrees within a phase, system constraint rows, or an
-    objective nonlinear in the integral symbols.
+    Returns ``None`` only when interval degrees are non-uniform within a
+    phase (block sizes would differ). Dense low-rank couplings outside the
+    pattern — system-constraint rows and objective terms nonlinear in the
+    integral symbols — are counted into ``krylov_rank`` and handled by
+    pattern-preconditioned CG in the solve.
     """
-    # precondition: objective linear in every integral symbol
+    krylov_rank = 0
+    # objective nonlinear in integral symbols -> rank <= total n_I
     expr = sp.sympify(system._expr_objective)
+    nonlin_I = False
     for p in system.p:
         for I_sym in p.I:
             if sp.diff(expr, I_sym, 2) != 0:
-                return None
+                nonlin_I = True
             for other in p.I:
                 if other is not I_sym and sp.diff(expr, I_sym, other) != 0:
-                    return None
-    # precondition: no system-constraint rows (dense row coupling)
+                    nonlin_I = True
+    if nonlin_I:
+        krylov_rank += sum(p.n_I for p in system.p)
+    # each system-constraint row adds one dense row/column pair plus a
+    # rank-<=n_I Hessian coupling; bound it by n_c + n_I
     if system.n_c > 0:
-        return None
+        krylov_rank += system.n_c + sum(p.n_I for p in system.p)
 
     interior_blocks = []
     reduced = []
@@ -115,7 +130,9 @@ def structured_layout(system) -> Optional[StructuredLayout]:
     all_idx = np.concatenate([interior.ravel(), reduced])
     if len(np.unique(all_idx)) != system.L or len(all_idx) != system.L:
         return None
-    return StructuredLayout(interior=interior, reduced=reduced)
+    return StructuredLayout(
+        interior=interior, reduced=reduced, krylov_rank=krylov_rank
+    )
 
 
 def pattern_violation(K, layout: StructuredLayout) -> jax.Array:
@@ -190,11 +207,12 @@ def make_structured_factor(layout: StructuredLayout):
         finite = jnp.all(jnp.isfinite(pivots))
         p_min = jnp.where(finite, jnp.min(pivots), jnp.nan)
         p_max = jnp.where(finite, jnp.max(pivots), jnp.nan)
-        factors = (L_i_safe, sc_i, X_ir, K_ir, L_r_safe, sc_r)
+        factors = (L_i_safe, sc_i, X_ir, K_ir, L_r_safe, sc_r, K)
         return factors, p_min, p_max
 
     def apply(factors, rhs):
-        L_i, sc_i, X_ir, K_ir, L_r, sc_r = factors
+        """One pattern solve (exact when krylov_rank == 0)."""
+        L_i, sc_i, X_ir, K_ir, L_r, sc_r, K = factors
         b_i = rhs[interior]  # (nb, ni)
         b_r = rhs[reduced]  # (nr,)
 
@@ -217,7 +235,44 @@ def make_structured_factor(layout: StructuredLayout):
         x = x.at[reduced].set(x_r)
         return x
 
-    return factor, apply
+    if layout.krylov_rank == 0:
+        return factor, apply
+
+    # pattern-preconditioned conjugate gradients: the full K differs from
+    # its block-arrow pattern by a rank-r term, and CG with the pattern
+    # factorization as preconditioner removes a rank-r discrepancy in
+    # r + 1 steps (we run r + 2 for float headroom)
+    n_steps = int(layout.krylov_rank) + 2
+
+    def apply_pcg(factors, rhs):
+        K = factors[6]
+
+        def matvec(v):
+            return K @ v
+
+        x = apply(factors, rhs)
+        r = rhs - matvec(x)
+        z = apply(factors, r)
+        p = z
+        rz = r @ z
+
+        def body(_, carry):
+            x, r, p, rz = carry
+            Kp = matvec(p)
+            denom = p @ Kp
+            alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Kp
+            z = apply(factors, r)
+            rz_new = r @ z
+            beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+            p = z + beta * p
+            return x, r, p, rz_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (x, r, p, rz))
+        return x
+
+    return factor, apply_pcg
 
 
 def make_structured_solve(layout: StructuredLayout):

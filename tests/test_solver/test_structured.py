@@ -97,21 +97,46 @@ def test_structured_matches_dense(builder):
     assert float(p_min) > 0
 
 
-def test_layout_rejects_unsupported():
-    # nonlinear-in-I objective
+def test_layout_low_rank_and_rejects():
+    # nonlinear-in-I objective -> handled via Krylov rank
     system, phase = _lqr()
     (x_f,) = system.s
     system.set_objective(phase.I[0] ** 2)
-    assert structured_layout(system) is None
-    # system constraint rows
+    layout = structured_layout(system)
+    assert layout is not None and layout.krylov_rank == 1
+    # system constraint rows -> Krylov rank n_c + n_I
     system2, phase2 = _lqr()
-    system2.set_system_constraint([phase2.I[0]], [0.0], [10.0])
-    assert structured_layout(system2) is None
-    # non-uniform degrees
+    system2.set_system_constraint([phase2.I[0] * 2.0], [0.0], [10.0])
+    layout2 = structured_layout(system2)
+    assert layout2 is not None and layout2.krylov_rank == 2
+    # non-uniform degrees: block sizes differ -> unsupported
     system3, phase3 = _lqr()
     phase3.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))
     system3.update()
     assert structured_layout(system3) is None
+
+
+def test_pcg_handles_low_rank_coupling():
+    """Nonlinear-in-I objective + a system constraint produce dense
+    low-rank coupling outside the pattern; the pattern-preconditioned CG
+    solve must still match the dense oracle."""
+    system, phase = _lqr()
+    system.set_objective(phase.I[0] ** 2 + system.s[0] ** 2)
+    system.set_system_constraint([phase.I[0] * 1.5], [-10.0], [10.0])
+    layout = structured_layout(system)
+    assert layout is not None and layout.krylov_rank >= 2
+    K = _build_K(system, seed=7)
+    # the pattern is NOT exact here
+    from pockit_tpu.solver.structured import pattern_violation
+
+    assert float(pattern_violation(K, layout)) > 1e-8
+    rng = np.random.default_rng(11)
+    rhs = rng.normal(size=system.L)
+    solve = make_structured_solve(layout)
+    x, p_min, _ = solve(K, rhs)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(K, rhs), rtol=1e-7, atol=1e-8
+    )
 
 
 def test_multiphase_layout():

@@ -50,15 +50,41 @@ def test_structured_matches_dense_end_to_end():
     assert info_s["iterations"] == info_d["iterations"]
 
 
-def test_structured_falls_back_with_warning():
+def test_structured_with_system_constraint_row():
+    """System-constraint rows couple densely outside the pattern; the
+    Krylov-corrected structured path must still solve them."""
     system, phase = _orbit()
     (r_f,) = system.s
-    system.set_objective(-r_f + 0.0 * phase.I[0] if phase.n_I else -r_f)
-    # introduce a system constraint row -> pattern does not apply
-    system.set_system_constraint([r_f], [1.0], [2.0])
-    # r_f is a plain static symbol -> becomes a bound, NOT a row; use an
-    # expression instead
-    system.set_system_constraint([r_f**2], [1.0], [4.0])
+    system.set_system_constraint([r_f**2], [1.0, ], [2.25])
+    guess = lobatto.linear_guess(phase, 1.0)
+    guess.x[0] = 1.0 + 0.5 * phase.t_x
+    guess.x[1] = 0.1
+    guess.x[2] = 1.0
+    guess.u[0] = 0.5
+    (_, s_d), info_d = (
+        ipm.solve(system, [guess, [1.5]], IPOptions(tol=1e-8, max_iter=200))
+    )
+    guess2 = lobatto.linear_guess(phase, 1.0)
+    guess2.x[0] = 1.0 + 0.5 * phase.t_x
+    guess2.x[1] = 0.1
+    guess2.x[2] = 1.0
+    guess2.u[0] = 0.5
+    (_, s_s), info_s = ipm.solve(
+        system,
+        [guess2, [1.5]],
+        IPOptions(tol=1e-8, max_iter=200, kkt_solver="structured"),
+    )
+    assert info_d["status"] == 0 and info_s["status"] == 0
+    # active constraint: r_f <= 1.5 binds (unconstrained optimum ~1.5253)
+    assert float(s_d[0]) == pytest.approx(1.5, abs=1e-6)
+    assert info_s["obj_val"] == pytest.approx(info_d["obj_val"], abs=1e-8)
+
+
+def test_structured_falls_back_with_warning():
+    """Non-uniform interval degrees cannot use the structured path."""
+    system, phase = _orbit()
+    phase.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))
+    system.update()
     guess = lobatto.linear_guess(phase, 1.0)
     guess.x[0] = 1.0 + 0.5 * phase.t_x
     guess.x[1] = 0.1

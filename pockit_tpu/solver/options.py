@@ -31,8 +31,6 @@ class IPOptions:
     s_max: float = 100.0  # KKT error scaling threshold
     # line search
     max_ls: int = 20  # backtracking steps
-    eta_ls: float = 1e-4  # Armijo constant
-    gamma_theta: float = 1e-5  # infeasibility-decrease acceptance
     # regularization
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10

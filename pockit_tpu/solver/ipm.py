@@ -333,19 +333,44 @@ def make_ip_solver(
             newly_done = E0 <= opt.tol
             blown = ~jnp.isfinite(E0) | (jnp.max(jnp.abs(z)) > opt.diverge_threshold)
 
-            # -- barrier update (monotone); filter resets with mu -------
-            E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, mu)
-            shrink = E_mu <= opt.kappa_eps * mu
-            mu = jnp.where(
-                shrink,
-                jnp.maximum(
-                    opt.tol / 10.0,
-                    jnp.minimum(opt.kappa_mu * mu, mu**opt.theta_mu),
-                ),
-                mu,
-            )
-            th_f = jnp.where(shrink, th_f0, st.th_f)
-            ph_f = jnp.where(shrink, ph_f0, st.ph_f)
+            # -- barrier update --------------------------------------------
+            if opt.mu_strategy == "adaptive":
+                # LOQO centrality rule: retarget mu from the complementarity
+                # distribution every iteration (no ladder, no filter resets)
+                al_c = jnp.where(has_zl, z - zl_r, one)
+                au_c = jnp.where(has_zu, zu_r - z, one)
+                bl_c = jnp.where(has_cl, s - cl_r, one)
+                bu_c = jnp.where(has_cu, cu_r - s, one)
+                comp_v = jnp.concatenate(
+                    [
+                        jnp.where(has_zl, al_c * w_l, jnp.nan),
+                        jnp.where(has_zu, au_c * w_u, jnp.nan),
+                        jnp.where(has_cl, bl_c * v_l, jnp.nan),
+                        jnp.where(has_cu, bu_c * v_u, jnp.nan),
+                    ]
+                )
+                n_comp = jnp.sum(~jnp.isnan(comp_v))
+                avg = jnp.nansum(comp_v) / jnp.maximum(n_comp, 1)
+                cmin = jnp.nanmin(jnp.where(jnp.isnan(comp_v), jnp.inf, comp_v))
+                xi = jnp.where(avg > 0, cmin / jnp.maximum(avg, 1e-30), 1.0)
+                sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
+                mu_ad = jnp.clip(sigma * avg, opt.tol / 10.0, opt.mu_init)
+                mu = jnp.where(n_comp > 0, mu_ad, mu)
+                th_f, ph_f = st.th_f, st.ph_f
+            else:
+                # monotone Fiacco-McCormick ladder; filter resets with mu
+                E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, mu)
+                shrink = E_mu <= opt.kappa_eps * mu
+                mu = jnp.where(
+                    shrink,
+                    jnp.maximum(
+                        opt.tol / 10.0,
+                        jnp.minimum(opt.kappa_mu * mu, mu**opt.theta_mu),
+                    ),
+                    mu,
+                )
+                th_f = jnp.where(shrink, th_f0, st.th_f)
+                ph_f = jnp.where(shrink, ph_f0, st.ph_f)
 
             # -- assemble condensed system ------------------------------
             al = jnp.where(has_zl, z - zl_r, one)

@@ -25,6 +25,9 @@ class IPOptions:
     kappa_mu: float = 0.2  # linear mu shrink factor
     theta_mu: float = 1.5  # superlinear mu shrink exponent
     kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
+    # barrier update strategy: "monotone" (Fiacco-McCormick ladder) or
+    # "adaptive" (LOQO centrality rule, re-targeted every iteration)
+    mu_strategy: str = "monotone"
     tau_min: float = 0.99  # fraction-to-boundary floor
     kappa_1: float = 1e-2  # initial-point push (absolute)
     kappa_2: float = 1e-2  # initial-point push (relative)

@@ -285,3 +285,89 @@ def make_structured_solve(layout: StructuredLayout):
         return apply(factors, rhs), p_min, p_max
 
     return solve
+
+
+def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
+    """Time-axis-sharded structured solve over a device mesh.
+
+    The interval-interior blocks are independent, so they shard over the
+    ``axis`` of ``mesh``: each device eliminates its own subintervals (one
+    small batched Cholesky), the reduced Schur contributions are combined
+    with a single ``psum`` (the only cross-device traffic — an
+    ``n_red x n_red`` matrix plus a vector riding ICI), the small border+
+    arrow system is solved replicated, and back-substitution is local.
+
+    This is the KKT-factorization analog of sequence parallelism (SURVEY
+    §5): the "time" axis of one huge-mesh instance is spread over chips.
+    ``K`` and ``rhs`` enter replicated; the number of interior blocks must
+    be divisible by the axis size. Exact for ``krylov_rank == 0`` layouts.
+    """
+    from functools import partial
+
+    import numpy as np_
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nb, ni = layout.interior.shape
+    n_dev = mesh.shape[axis]
+    if nb % n_dev:
+        raise ValueError(
+            f"{nb} interior blocks not divisible by {n_dev} devices"
+        )
+    if layout.krylov_rank:
+        raise ValueError(
+            "sharded structured solve requires an exact block-arrow pattern"
+        )
+    interior_sh = np_.asarray(layout.interior).reshape(n_dev, nb // n_dev, ni)
+    reduced = jnp.asarray(layout.reduced)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def _solve(my_interior, K, rhs):
+        my_interior = my_interior[0]  # (nb_local, ni)
+        K_ii = K[my_interior[:, :, None], my_interior[:, None, :]]
+        K_ir = K[my_interior[:, :, None], reduced[None, None, :]]
+        b_i = rhs[my_interior]
+
+        sc_i = jax.lax.rsqrt(
+            jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
+        )
+        L_i = jnp.linalg.cholesky(K_ii * sc_i[:, :, None] * sc_i[:, None, :])
+
+        def blk_solve(B):
+            Bs = B * sc_i[:, :, None]
+            t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
+            X = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L_i, 1, 2), t, lower=False
+            )
+            return X * sc_i[:, :, None]
+
+        X_ir = blk_solve(K_ir)
+        x_bi = blk_solve(b_i[:, :, None])[:, :, 0]
+
+        # partial Schur contributions; ONE psum pair crosses devices
+        S_part = jnp.einsum("bik,bil->kl", K_ir, X_ir)
+        r_part = jnp.einsum("bik,bi->k", K_ir, x_bi)
+        S = K[reduced[:, None], reduced[None, :]] - jax.lax.psum(S_part, axis)
+        r_red = rhs[reduced] - jax.lax.psum(r_part, axis)
+
+        sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+        L_r = jnp.linalg.cholesky(S * sc_r[:, None] * sc_r[None, :])
+        t = jax.scipy.linalg.solve_triangular(L_r, sc_r * r_red, lower=True)
+        x_r = sc_r * jax.scipy.linalg.solve_triangular(L_r.T, t, lower=False)
+
+        x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
+        x_local = jnp.zeros_like(rhs).at[my_interior.ravel()].set(x_i.ravel())
+        # sum local interior pieces; add the (replicated) reduced part once
+        x = jax.lax.psum(x_local, axis) + jnp.zeros_like(rhs).at[reduced].set(x_r)
+        return x
+
+    def solve(K, rhs):
+        return _solve(jnp.asarray(interior_sh), K, rhs)
+
+    return solve

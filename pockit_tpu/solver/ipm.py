@@ -519,6 +519,11 @@ def make_ip_solver(
             # the plain perturbed step) when delta_w is an intentional
             # inertia correction rather than a numerical floor.
             if m:
+                # NOTE: (W + diag(sigma_z)) @ dz must be computed from the
+                # explicit matrix, NOT as K0 @ dz - J^T D (J dz): K0 carries
+                # 1/delta_c-scale terms and that difference cancels
+                # catastrophically in float32, destroying the refinement
+                # (observed as a 2x iteration-count regression)
                 A_diag = W + jnp.diag(sigma_z)
                 inv_sig_s = jnp.where(eq | (sigma_s <= 0.0), 0.0, 1.0 / jnp.where(sigma_s > 0.0, sigma_s, 1.0))
                 numerical_reg = delta_w <= 100.0 * delta_w_floor

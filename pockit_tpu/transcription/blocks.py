@@ -1,0 +1,333 @@
+"""Interval-local derivative blocks: the memory-optimal KKT assembly.
+
+The dense pipeline differentiates the whole NLP at once, which materializes
+(L, L)-shaped Hessians and (m, L) Jacobians — per XLA cost analysis the
+batched solver is HBM-bound on exactly those temporaries. But every
+nonlinear quantity in a collocation NLP is *interval-local*: the dynamic
+and path rows of interval ``i`` touch only that interval's points, the
+shared border points, ``t_0``/``t_f`` and the statics. So the Jacobian and
+the Lagrangian Hessian can be computed as per-interval blocks of size
+``n_loc ≈ n_v·(n+1) + 2 + n_s`` by vmapping AD over intervals — 5-10x
+fewer tangent dimensions than whole-vector AD and temporaries measured in
+MB instead of GB. The blocks feed the structured interval-Schur
+factorization (``solver/structured.py``) directly, so nothing
+(L, L)-shaped ever needs to exist.
+
+Round-1 scope (validated against the dense-AD oracle in
+``tests/test_transcription/test_blocks.py``): single-phase systems with an
+objective linear in the integral symbols, uniform interval degrees, any
+FREE/FIXED/FUNC boundary conditions. The reference's analog is the
+easyderiv sparse index machinery (``/root/reference/pockit/base/
+easyderiv.py``) — here JAX does the chain rule and only the index
+bookkeeping is ours.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from pockit_tpu.base.bc import BcType
+
+
+class BlockLayout(NamedTuple):
+    """Index bookkeeping for interval-local assembly (single phase)."""
+
+    local_cols: np.ndarray  # (N, n_loc) global z-columns of each interval
+    n_dyn_rows: np.ndarray  # rows of dynamic constraints per interval
+    n_path_rows: np.ndarray  # rows of path constraints per interval
+
+
+def _phase_local_layout(system):
+    """Global column indices touched by each interval: per variable the
+    interval's points (borders included), then t_0, t_f, then statics."""
+    assert system.n_p == 1, "round-1 scope: single phase"
+    p = system.p[0]
+    d = p.d
+    assert len(set(int(n) for n in d.num_point)) == 1, "uniform degrees"
+    cols = []
+    for i in range(d.N):
+        c = []
+        for v in range(p.n):
+            base = int(d.l_v[v])
+            is_state = v < p.n_x
+            if d.family == "lobatto":
+                l_idx, r_idx = d.l_m, d.r_m
+            elif is_state:
+                l_idx, r_idx = d.l_x, d.r_x
+            else:
+                l_idx, r_idx = d.l_u, d.r_u
+            c.extend(range(base + int(l_idx[i]), base + int(r_idx[i])))
+        c.extend([p.L - 2, p.L - 1])
+        c.extend(range(int(system.l_s), int(system.r_s)))
+        cols.append(c)
+    return np.array(cols, dtype=np.int32)
+
+
+def make_block_derivatives(system):
+    """Build ``(layout, jac_blocks, hess_blocks)``:
+
+    - ``jac_blocks(z) -> (N, rows_i, n_loc)`` per-interval constraint
+      Jacobian blocks (dynamic rows then path rows of that interval),
+    - ``hess_blocks(z, lam, fct_o) -> (N, n_loc, n_loc)`` per-interval
+      blocks of the Lagrangian Hessian (their scatter-sum over the shared
+      columns IS the full W).
+
+    ``lam`` is ordered like the full constraint vector (no system rows in
+    round-1 scope).
+    """
+    if system.n_c:
+        raise ValueError("round-1 scope: no system-constraint rows")
+    p = system.p[0]
+    d = p.d
+
+    # linear-in-I objective: obj = sum_j a_j(s) I_j + g(s)
+    for I_sym in p.I:
+        if sp.diff(sp.sympify(system._expr_objective), I_sym, 2) != 0:
+            raise ValueError("round-1 scope: objective linear in integrals")
+
+    local_cols = _phase_local_layout(system)
+    N = d.N
+    n = int(d.num_point[0])
+    n_x, n_u, n_s = p.n_x, p.n_u, system.n_s
+    lob = d.family == "lobatto"
+    pts_x = n if lob else n + 1  # state points per interval
+    pts_u = n  # control/middle points per interval
+    rows_dyn = (n - 1 if lob else n) * n_x
+    rows_path = pts_u * p.n_c if lob else pts_u * p.n_c
+    if lob:
+        rows_path = n * p.n_c  # LGL middle == points
+    n_loc = local_cols.shape[1]
+
+    # per-interval static data
+    T_blk = np.stack([np.asarray(_t_block(d, i)) for i in range(N)])
+    I_blk = np.stack([np.asarray(_i_block(d, i)) for i in range(N)])
+    tau = np.stack(
+        [np.asarray(d.t_m[int(d.l_m[i]) : int(d.r_m[i])]) for i in range(N)]
+    )
+    w_blk = np.stack(
+        [np.asarray(d.w_m[int(d.l_m[i]) : int(d.r_m[i])]) for i in range(N)]
+    )
+    # NOTE: for LGL, w_m accumulates shared-border weights; recover the
+    # per-interval weights from the reference-cell rule instead
+    w_blk = np.stack([wi * (d.mesh[i + 1] - d.mesh[i]) / 2 for i, wi in
+                      enumerate(np.asarray(d.w_itv))])
+
+    # boundary-condition masks on the local layout
+    fixed_mask = np.zeros((N, n_loc), dtype=bool)
+    fixed_vals = np.zeros((N, n_loc))
+    func_mask = np.zeros((N, n_loc), dtype=bool)
+    func_slot = np.zeros((N, n_loc), dtype=np.int32)
+    func_fns = []
+
+    def _mark(i_itv, global_idx, info):
+        loc = np.where(local_cols[i_itv] == global_idx)[0]
+        if not len(loc):
+            return
+        j = loc[0]
+        if info.t == BcType.FIXED:
+            fixed_mask[i_itv, j] = True
+            fixed_vals[i_itv, j] = float(info.v)
+        elif info.t == BcType.FUNC:
+            func_mask[i_itv, j] = True
+            func_slot[i_itv, j] = len(func_fns)
+            func_fns.append(info.v)
+
+    for i_itv in range(N):
+        for v in range(n_x):
+            _mark(i_itv, int(d.l_v[v]), p.info_bc_0[v])
+            _mark(i_itv, int(d.r_v[v]) - 1, p.info_bc_f[v])
+        _mark(i_itv, p.L - 2, p.info_t_0)
+        _mark(i_itv, p.L - 1, p.info_t_f)
+
+    # objective weights a_j(s) (linear in I -> independent of I)
+    a_fn = jax.grad(
+        lambda I_s: system.F_o(list(I_s[: p.n_I]) + list(I_s[p.n_I :])),
+        argnums=0,
+    )
+
+    i_t0 = n_loc - n_s - 2
+    i_tf = n_loc - n_s - 1
+
+    def _subst(z_loc, fm, fv, qm, qs):
+        """Apply FIXED/FUNC boundary substitution on the local vector.
+
+        FUNC values are computed from the statics INSIDE the local vector
+        so the substitution chain is visible to the interval-local
+        differentiation (a closure copy of s would silently drop every
+        FUNC-boundary derivative)."""
+        z_loc = jnp.where(fm, fv, z_loc)
+        if func_fns:
+            s_loc = z_loc[n_loc - n_s :]
+            vals = jnp.stack([fn(list(s_loc)) for fn in func_fns])
+            z_loc = jnp.where(qm, vals[qs], z_loc)
+        return z_loc
+
+    def _interval_rows(z_loc, Tb, Ib, tau_i, fm, fv, qm, qs):
+        """Dynamic + path rows of one interval from its local variables."""
+        z_loc = _subst(z_loc, fm, fv, qm, qs)
+        s = z_loc[n_loc - n_s :] if n_s else jnp.zeros((0,), z_loc.dtype)
+        t0, tf = z_loc[i_t0], z_loc[i_tf]
+        dt = tf - t0
+        xs, us = [], []
+        off = 0
+        for v in range(n_x):
+            xs.append(z_loc[off : off + pts_x])
+            off += pts_x
+        for v in range(n_u):
+            us.append(z_loc[off : off + pts_u])
+            off += pts_u
+        t_mid = (tau_i - 0.5) * dt + (tf + t0) / 2
+        xm = xs if lob else [x[:-1] for x in xs]
+        args = xm + us + [t_mid] + [s[k] for k in range(n_s)]
+        f = jnp.stack([fd(args) for fd in p.F_d])  # (n_x, pts_u)
+        X = jnp.stack(xs)  # (n_x, pts_x)
+        dyn = (X @ Tb.T - dt * (f @ Ib.T)).reshape(-1)
+        if p.n_c:
+            path = jnp.concatenate([fc(args) for fc in p.F_c])
+        else:
+            path = jnp.zeros((0,), z_loc.dtype)
+        return jnp.concatenate([dyn, path])
+
+    def _interval_lagrangian(
+        z_loc, Tb, Ib, tau_i, w_i, fm, fv, qm, qs, lam_i
+    ):
+        """lam_i^T (rows of this interval) + the interval's share of the
+        objective: sum_j a_j(s) * (partial integral over this interval)."""
+        rows = _interval_rows(z_loc, Tb, Ib, tau_i, fm, fv, qm, qs)
+        out = rows @ lam_i
+        z_sub = _subst(z_loc, fm, fv, qm, qs)
+        s = z_sub[n_loc - n_s :] if n_s else jnp.zeros((0,), z_loc.dtype)
+        t0, tf = z_sub[i_t0], z_sub[i_tf]
+        dt = tf - t0
+        if p.n_I:
+            xs, us = [], []
+            off = 0
+            for v in range(n_x):
+                xs.append(z_sub[off : off + pts_x])
+                off += pts_x
+            for v in range(n_u):
+                us.append(z_sub[off : off + pts_u])
+                off += pts_u
+            t_mid = (tau_i - 0.5) * dt + (tf + t0) / 2
+            xm = xs if lob else [x[:-1] for x in xs]
+            args = xm + us + [t_mid] + [s[k] for k in range(n_s)]
+            I_part = jnp.stack([fI(args) @ w_i for fI in p.F_I]) * dt
+            a = a_fn(jnp.concatenate([jnp.zeros((p.n_I,), z_loc.dtype), s]))[
+                : p.n_I
+            ]
+            out = out + a @ I_part
+        return out
+
+    rows_total = rows_dyn + (p.n_c * pts_u if not lob else p.n_c * n)
+
+    def _lam_blocks(lam):
+        """Reorder the flat multiplier vector into per-interval rows.
+
+        Full ordering: per state all its dyn rows (state-major), then per
+        path constraint all points. Interval i's rows interleave across
+        states/constraints, so gather indices are precomputed."""
+        return lam[_lam_idx]
+
+    # precompute gather indices mapping interval -> its row multipliers
+    lam_idx = []
+    rows_per_state = int(d.L_d)
+    dyn_rows_i = rows_dyn // n_x
+    for i in range(N):
+        idx = []
+        for v in range(n_x):
+            r0 = v * rows_per_state + (int(d.l_m[i]) if not lob else i * (n - 1))
+            if lob:
+                r0 = v * rows_per_state + i * (n - 1)
+            idx.extend(range(r0, r0 + dyn_rows_i))
+        base_path = n_x * rows_per_state
+        for c in range(p.n_c):
+            r0 = base_path + c * d.L_m + int(d.l_m[i])
+            idx.extend(range(r0, r0 + pts_u if not lob else r0 + n))
+        lam_idx.append(idx)
+    _lam_idx = jnp.asarray(np.array(lam_idx, dtype=np.int32))
+
+    local_cols_j = jnp.asarray(local_cols)
+    consts = (
+        jnp.asarray(T_blk),
+        jnp.asarray(I_blk),
+        jnp.asarray(tau),
+        jnp.asarray(w_blk),
+        jnp.asarray(fixed_mask),
+        jnp.asarray(fixed_vals),
+        jnp.asarray(func_mask),
+        jnp.asarray(func_slot),
+    )
+
+    def jac_blocks(z):
+        """(N, rows_i, n_loc) constraint-Jacobian blocks."""
+        z_loc = z[local_cols_j]  # (N, n_loc)
+        Tb, Ib, tau_a, _, fm, fv, qm, qs = consts
+        fn = lambda zl, T_, I_, ta, f1, f2, q1, q2: jax.jacrev(
+            _interval_rows
+        )(zl, T_, I_, ta, f1, f2, q1, q2)
+        return jax.vmap(fn)(z_loc, Tb, Ib, tau_a, fm, fv, qm, qs)
+
+    def hess_blocks(z, lam, fct_o):
+        """(N, n_loc, n_loc) Lagrangian-Hessian blocks (scatter-sum = W,
+        up to the pure-statics objective term ``fct_o * d2/ds2 F(0, s)``
+        which has no interval and belongs in the arrow block)."""
+        z_loc = z[local_cols_j]
+        Tb, Ib, tau_a, w_a, fm, fv, qm, qs = consts
+        lam_b = _lam_blocks(lam)
+
+        def one(zl, T_, I_, ta, wa, f1, f2, q1, q2, li):
+            # objective share is scaled by fct_o; constraint share by lam
+            def lag_scaled(v):
+                rows = _interval_rows(v, T_, I_, ta, f1, f2, q1, q2)
+                base = rows @ li
+                obj = _interval_lagrangian(
+                    v, T_, I_, ta, wa, f1, f2, q1, q2, li * 0.0
+                )
+                return base + fct_o * obj
+
+            return jax.jacfwd(jax.grad(lag_scaled))(zl)
+
+        return jax.vmap(one)(z_loc, Tb, Ib, tau_a, w_a, fm, fv, qm, qs, lam_b)
+
+    layout = BlockLayout(
+        local_cols=local_cols,
+        n_dyn_rows=np.full(N, rows_dyn),
+        n_path_rows=np.full(N, rows_total - rows_dyn),
+    )
+    return layout, jac_blocks, hess_blocks
+
+
+def _t_block(d, i):
+    """Per-interval translation block extracted from the dense operator."""
+    rl = int(np.searchsorted(np.asarray(d.l_d), 0))  # unused guard
+    from pockit_tpu.numerics.layout import lr_nc
+
+    if d.family == "lobatto":
+        l_r, _ = lr_nc(d.num_point - 1)
+        rows = int(d.num_point[i]) - 1
+        cols = slice(int(d.l_m[i]), int(d.r_m[i]))
+    else:
+        l_r, _ = lr_nc(d.num_point)
+        rows = int(d.num_point[i])
+        cols = slice(int(d.l_x[i]), int(d.r_x[i]))
+    r0 = int(l_r[i])
+    return d.T_v[r0 : r0 + rows, cols]
+
+
+def _i_block(d, i):
+    from pockit_tpu.numerics.layout import lr_nc
+
+    if d.family == "lobatto":
+        l_r, _ = lr_nc(d.num_point - 1)
+        rows = int(d.num_point[i]) - 1
+    else:
+        l_r, _ = lr_nc(d.num_point)
+        rows = int(d.num_point[i])
+    r0 = int(l_r[i])
+    cols = slice(int(d.l_m[i]), int(d.r_m[i]))
+    return d.I_m[r0 : r0 + rows, cols]

@@ -231,25 +231,43 @@ def make_block_derivatives(system):
         Full ordering: per state all its dyn rows (state-major), then per
         path constraint all points. Interval i's rows interleave across
         states/constraints, so gather indices are precomputed."""
-        return lam[_lam_idx]
+        return lam[_lam_idx] * _lam_w
 
-    # precompute gather indices mapping interval -> its row multipliers
+    # precompute gather indices mapping interval -> its row multipliers.
+    # LGL path rows live on the shared point grid, so a border row belongs
+    # to BOTH adjacent intervals; each owner gets HALF its multiplier
+    # (exact by linearity) so the Lagrangian sum counts the row once.
     lam_idx = []
+    lam_w = []
     rows_per_state = int(d.L_d)
     dyn_rows_i = rows_dyn // n_x
     for i in range(N):
         idx = []
+        wgt = []
         for v in range(n_x):
             r0 = v * rows_per_state + (int(d.l_m[i]) if not lob else i * (n - 1))
             if lob:
                 r0 = v * rows_per_state + i * (n - 1)
             idx.extend(range(r0, r0 + dyn_rows_i))
+            wgt.extend([1.0] * dyn_rows_i)
         base_path = n_x * rows_per_state
         for c in range(p.n_c):
             r0 = base_path + c * d.L_m + int(d.l_m[i])
-            idx.extend(range(r0, r0 + pts_u if not lob else r0 + n))
+            count = pts_u if not lob else n
+            idx.extend(range(r0, r0 + count))
+            if lob:
+                w_row = [1.0] * count
+                if i > 0:
+                    w_row[0] = 0.5  # left border shared with interval i-1
+                if i < N - 1:
+                    w_row[-1] = 0.5  # right border shared with interval i+1
+                wgt.extend(w_row)
+            else:
+                wgt.extend([1.0] * count)
         lam_idx.append(idx)
+        lam_w.append(wgt)
     _lam_idx = jnp.asarray(np.array(lam_idx, dtype=np.int32))
+    _lam_w = jnp.asarray(np.array(lam_w))
 
     local_cols_j = jnp.asarray(local_cols)
     consts = (

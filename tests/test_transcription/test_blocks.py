@@ -133,3 +133,66 @@ def test_blocks_match_dense(builder, mod):
         mask = np.ones(system.L, dtype=bool)
         mask[cols[i]] = False
         assert np.max(np.abs(J_dense[np.ix_(idx, np.where(mask)[0])])) < 1e-12
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_blocks_random_configs(seed):
+    """Random shapes/BCs: blocks must reproduce dense W exactly."""
+    rng = np.random.default_rng(100 + seed)
+    mod = lobatto if seed % 2 else radau
+    n_x = int(rng.integers(1, 3))
+    n_u = int(rng.integers(1, 3))
+    n_s = int(rng.integers(1, 3))
+    system = mod.System(n_s)
+    s_syms = system.s
+    phase = system.new_phase(n_x, n_u)
+    xs, us = phase.x, phase.u
+    dyn = []
+    for i in range(n_x):
+        expr = sum(float(rng.normal()) * x_ for x_ in xs) + sum(
+            float(rng.normal()) * u_ for u_ in us
+        )
+        expr = expr + sp.sin(xs[i]) * float(rng.normal()) + s_syms[0] * us[0]
+        dyn.append(expr)
+    phase.set_dynamics(dyn)
+    phase.set_integral([sum(x_**2 for x_ in xs) + s_syms[-1] * us[0]])
+    if rng.random() < 0.5:
+        phase.set_phase_constraint(
+            [us[0] * xs[0] + s_syms[0]], [-3.0], [3.0]
+        )
+    bc0 = [
+        (float(rng.normal()) if rng.random() < 0.5 else s_syms[0] ** 2)
+        for _ in range(n_x)
+    ]
+    bcf = [
+        (None if rng.random() < 0.5 else sp.cos(s_syms[-1]))
+        for _ in range(n_x)
+    ]
+    t_f = None if rng.random() < 0.5 else 1.0 + s_syms[0] ** 2
+    phase.set_boundary_condition(bc0, bcf, 0.0, t_f)
+    phase.set_discretization(int(rng.integers(2, 5)), int(rng.integers(4, 7)))
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + sum(s_**2 for s_ in s_syms))
+
+    layout, jac_blocks, hess_blocks = make_block_derivatives(system)
+    z = rng.uniform(0.4, 1.1, system.L)
+    m = len(system.c_lb)
+    lam = rng.normal(size=m)
+    fct_o = float(rng.uniform(0.2, 1.5))
+
+    W_dense = np.asarray(system.hessian(z, lam, fct_o))
+    Wb = np.asarray(hess_blocks(z, lam, fct_o))
+    cols = layout.local_cols
+    W_rec = np.zeros_like(W_dense)
+    for i in range(cols.shape[0]):
+        W_rec[np.ix_(cols[i], cols[i])] += Wb[i]
+    import jax.numpy as jnp
+
+    s = z[system.l_s :]
+    g_hess = jax.hessian(
+        lambda s_: system.F_o(
+            [jnp.asarray(0.0)] * phase.n_I + [s_[k] for k in range(n_s)]
+        )
+    )(jnp.asarray(s))
+    W_rec[system.l_s :, system.l_s :] += fct_o * np.asarray(g_hess)
+    np.testing.assert_allclose(W_rec, W_dense, rtol=1e-7, atol=1e-8)

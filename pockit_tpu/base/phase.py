@@ -326,24 +326,47 @@ class PhaseBase:
         args, _ = self._middle_args_host(x, s, aug=False)
         return np.stack([np.asarray(f(args)) for f in self._func_bang_bang_control])
 
+    @staticmethod
+    def _segment_count(flags: np.ndarray, l_idx, r_idx) -> np.ndarray:
+        """Count True flags inside each ``[l, r)`` point segment via one
+        cumulative sum (vectorized over segments; last axis is points)."""
+        cum = np.concatenate(
+            [np.zeros(flags.shape[:-1] + (1,), dtype=np.int64),
+             np.cumsum(flags, axis=-1)],
+            axis=-1,
+        )
+        # segment bounds may overhang the point grid (slice-clip semantics)
+        l_idx = np.minimum(np.asarray(l_idx), flags.shape[-1])
+        r_idx = np.minimum(np.asarray(r_idx), flags.shape[-1])
+        return cum[..., r_idx] - cum[..., l_idx]
+
+    def _tiny_intervals(self, mtol: float) -> np.ndarray:
+        """Intervals narrower than ``mtol`` are exempt from error checks."""
+        m = np.asarray(self._mesh)
+        return (m[1:] - m[:-1]) < mtol
+
     def _error_check_interval_continuous(self, T_x, I_f, atol, rtol, mtol):
-        ec = np.ones(self.N, dtype=bool)
-        for i in range(self.N):
-            if self._mesh[i + 1] - self._mesh[i] < mtol:
-                continue
-            l, r = self.l_m_aug[i], self.r_m_aug[i]
-            ec[i] = np.allclose(T_x[:, l:r], I_f[:, l:r], atol=atol, rtol=rtol)
-        return ec
+        """Per-interval residual acceptance: every augmented point of the
+        interval must satisfy ``|T_x - I_f| <= atol + rtol |I_f|``."""
+        with np.errstate(invalid="ignore"):
+            bad = ~np.all(
+                np.abs(T_x - I_f) <= atol + rtol * np.abs(I_f), axis=0
+            )  # NaN residuals count as failures, matching np.allclose
+        n_bad = self._segment_count(bad, self.l_m_aug, self.r_m_aug)
+        return (n_bad == 0) | self._tiny_intervals(mtol)
 
     def _error_check_interval_discontinuous(self, f_bb, dtol, mtol):
-        ec = np.ones(self.N, dtype=bool)
-        for i in range(self.N):
-            if self._mesh[i + 1] - self._mesh[i] < mtol:
-                continue
-            for b in range(self.n_b):
-                seg = f_bb[b, self.l_m[i] : self.r_m[i]]
-                ec[i] = ec[i] and (np.all(seg < dtol) or np.all(seg > 1 - dtol))
-        return ec
+        """Per-interval saturation acceptance: each bang-bang function must
+        sit entirely below ``dtol`` or entirely above ``1 - dtol`` on every
+        interval."""
+        if not self.n_b:
+            return np.ones(self.N, dtype=bool)
+        L_pts = f_bb.shape[-1]
+        widths = np.minimum(self.r_m, L_pts) - np.minimum(self.l_m, L_pts)
+        n_low = self._segment_count(f_bb < dtol, self.l_m, self.r_m)
+        n_high = self._segment_count(f_bb > 1.0 - dtol, self.l_m, self.r_m)
+        saturated = (n_low == widths) | (n_high == widths)  # (n_b, N)
+        return saturated.all(axis=0) | self._tiny_intervals(mtol)
 
     # ------------------------------------------------------------------
     # check / refine (reference: ``phasebase.py:1362-1891``)
@@ -455,46 +478,43 @@ class PhaseBase:
             mesh_length_min,
         )
 
-        mesh_new: list[float] = []
-        num_point_new: list[int] = []
+        # Per-interval plan: each entry contributes (left borders, degrees).
+        # Passing intervals are kept; failing intervals raise their degree by
+        # the error-ratio log rule while it fits under num_point_max, and are
+        # subdivided into minimum-degree pieces otherwise.
+        borders: list[np.ndarray] = []
+        degrees: list[np.ndarray] = []
+        abs_err = np.abs(T_x - I_f)
         for i in range(self.N):
+            left, right = float(self._mesh[i]), float(self._mesh[i + 1])
+            deg = int(self._num_point[i])
             if ec[i]:
-                mesh_new.append(self._mesh[i])
-                num_point_new.append(int(self._num_point[i]))
+                borders.append(np.array([left]))
+                degrees.append(np.array([deg]))
                 continue
-            l, r = self.l_m_aug[i], self.r_m_aug[i]
-            abs_err = np.abs(T_x[:, l:r] - I_f[:, l:r])
-            I_f_max = np.max(np.abs(I_f[:, l:r]), axis=1).reshape(-1, 1)
-            rel_err_max = np.max(abs_err / (1.0 + I_f_max))
-            num_new = max(
-                int(
-                    np.ceil(
-                        np.log(rel_err_max / relative_tolerance_continuous)
-                        / np.log(self._num_point[i])
-                    )
-                ),
+            a, b = self.l_m_aug[i], self.r_m_aug[i]
+            scale = 1.0 + np.abs(I_f[:, a:b]).max(axis=1, keepdims=True)
+            ratio = float(np.max(abs_err[:, a:b] / scale))
+            bump = max(
                 1,
+                int(np.ceil(np.log(ratio / relative_tolerance_continuous)
+                            / np.log(deg))),
             )
-            if self._num_point[i] + num_new <= num_point_max:
-                mesh_new.append(self._mesh[i])
-                num_point_new.append(int(self._num_point[i]) + num_new)
-            else:  # h-refine: split into subintervals of minimum degree
-                width = self._mesh[i + 1] - self._mesh[i]
-                n_itv_min = int(np.ceil(width / mesh_length_max))
-                n_itv_max = max(int(np.floor(width / mesh_length_min)), 1)
-                n_itv = max(
-                    int(np.ceil((self._num_point[i] + num_new) / num_point_min)), 2
-                )
-                n_itv = max(min(n_itv, n_itv_max), n_itv_min)
-                for m_ in np.linspace(
-                    self._mesh[i], self._mesh[i + 1], n_itv, endpoint=False
-                ):
-                    mesh_new.append(m_)
-                    num_point_new.append(num_point_min)
-        mesh_new.append(1.0)
+            if deg + bump <= num_point_max:  # p-refine in place
+                borders.append(np.array([left]))
+                degrees.append(np.array([deg + bump]))
+            else:  # h-refine: uniform split, capacity-matched piece count
+                width = right - left
+                pieces = max(int(np.ceil((deg + bump) / num_point_min)), 2)
+                pieces = min(pieces, max(int(width / mesh_length_min), 1))
+                pieces = max(pieces, int(np.ceil(width / mesh_length_max)))
+                borders.append(np.linspace(left, right, pieces, endpoint=False))
+                degrees.append(np.full(pieces, num_point_min))
+        mesh_new = np.append(np.concatenate(borders), 1.0)
+        num_point_new = np.concatenate(degrees).astype(int)
 
         passed = self._discontinuous_check_passed
-        self.set_discretization(mesh_new, num_point_new)
+        self.set_discretization(mesh_new, list(num_point_new))
         self._discontinuous_check_passed = passed
 
     def refine_discontinuous(

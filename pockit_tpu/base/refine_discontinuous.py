@@ -27,55 +27,56 @@ def _switch_roots(y: np.ndarray, P_fn) -> np.ndarray:
     return np.array(filtered)
 
 
-def _classify(f, dtol):
-    if f is None:
-        return -100
-    if f < dtol:
-        return 0
-    if f > 1 - dtol:
-        return 1
-    return 10
+def _is_saturated(f: float, dtol: float) -> bool:
+    """A scaled bang-bang sample counts as saturated when it sits within
+    ``dtol`` of either bang level (0 or 1)."""
+    return f < dtol or f > 1.0 - dtol
 
 
-def _boundary_ok(f_ll, f_lr, f_rl, f_rr, dtol):
-    """Whether the left/right borders of an unsaturated interval look
-    consistent (no hidden switch at the border)."""
-    c_l = _classify(f_ll, dtol) + _classify(f_lr, dtol)
-    c_r = _classify(f_rl, dtol) + _classify(f_rr, dtol)
-    return c_l <= 2, c_r <= 2
+def _border_consistent(outer, inner, dtol) -> bool:
+    """True when no hidden switch can sit at this interval border: either
+    the border is the phase boundary (no outer-side sample exists) or the
+    samples on both sides of it are saturated — a steady bang level or a
+    clean shock, both of which need no border nudge."""
+    if outer is None:
+        return True
+    return _is_saturated(outer, dtol) and _is_saturated(inner, dtol)
+
+
+def _enforce_spacing(candidates, stale, gap_min, gap_max) -> np.ndarray:
+    """Turn sorted candidate borders into a valid mesh on [0, 1] with all
+    gaps in [gap_min, gap_max].
+
+    Merge policy for a candidate closer than ``gap_min`` to the previously
+    accepted border: a freshly placed border (switch location) supersedes a
+    ``stale`` border carried over from the old mesh; two fresh borders meet
+    at their midpoint; a stale candidate crowding a fresh border is simply
+    dropped. Gaps wider than ``gap_max`` are filled uniformly."""
+    accepted = [0.0]
+    for cand in list(candidates) + [1.0]:
+        prev = accepted[-1]
+        gap = cand - prev
+        if gap < gap_min:
+            if prev in stale:
+                accepted[-1] = cand
+            elif cand not in stale:
+                accepted[-1] = 0.5 * (prev + cand)
+            # else: cand is the stale border — keep the fresh prev
+        elif gap > gap_max:
+            pieces = int(np.ceil(gap / gap_max))
+            accepted.extend(prev + gap * np.arange(1, pieces + 1) / pieces)
+        else:
+            accepted.append(cand)
+    return np.asarray(accepted)
 
 
 def _clean_mesh(mesh_new, mesh_old, length_min, length_max):
-    """Sort/filter candidate mesh points, merging too-dense points (keeping
-    old mesh points when possible) and splitting too-sparse gaps
-    (reference: ``_mesh_gen_discontinuous``)."""
-    mesh_new = sorted(mesh_new)
-    mesh = [0.0]
-    for m_ in mesh_new:
-        if length_min < m_ < 1 - length_min:
-            mesh.append(m_)
-    mesh.append(1.0)
-
-    old = set(np.asarray(mesh_old).tolist())
-    clean = [0.0]
-    for i in range(len(mesh) - 1):
-        m_ = mesh[i + 1]
-        if m_ - clean[-1] < length_min:  # too dense
-            if clean[-1] in old:
-                clean[-1] = m_
-            elif m_ in old:
-                pass
-            else:
-                clean[-1] = (m_ + clean[-1]) / 2
-            continue
-        if m_ - clean[-1] > length_max:  # too sparse
-            last = clean[-1]
-            n_split = int(np.ceil((m_ - last) / length_max))
-            for j in range(n_split):
-                clean.append(last + (m_ - last) * (j + 1) / n_split)
-            continue
-        clean.append(m_)
-    return np.array(clean)
+    """Candidate borders -> valid refined mesh: drop candidates hugging the
+    phase endpoints, then enforce the [length_min, length_max] gap band."""
+    cands = np.sort(np.asarray(mesh_new, dtype=np.float64))
+    cands = cands[(cands > length_min) & (cands < 1.0 - length_min)]
+    stale = set(np.asarray(mesh_old, dtype=np.float64).tolist())
+    return _enforce_spacing(cands, stale, length_min, length_max)
 
 
 def refine_discontinuous_mesh(
@@ -188,7 +189,8 @@ def refine_discontinuous_mesh(
         f_rl = f_bb[b_, r_m[m_] - 1]
         f_ll = None if m_ == 0 else f_bb[b_, l_m[m_] - 1]
         f_rr = None if m_ == N - 1 else f_bb[b_, r_m[m_]]
-        ok_l, ok_r = _boundary_ok(f_ll, f_lr, f_rl, f_rr, dtol)
+        ok_l = _border_consistent(f_ll, f_lr, dtol)
+        ok_r = _border_consistent(f_rr, f_rl, dtol)
         if reverse:
             if not ok_r:
                 _nudge_right(m_, r_s, mesh_r, mesh_d)

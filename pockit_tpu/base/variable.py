@@ -68,48 +68,59 @@ class VariableBase:
         self._l_u = phase.l_u
         self._r_u = phase.r_u
 
-    # -- time partition helpers (reference: variablebase.py:136-172) -----
-    @staticmethod
-    def _almost_equal(a, b) -> bool:
-        return bool(np.isclose(a, b, rtol=1e-8, atol=1e-8))
+    # -- time partition helpers --------------------------------------------
+    # Semantics match the reference (``variablebase.py:136-172``): output
+    # times within tolerance of an interior mesh edge sample the interval to
+    # the LEFT of that edge, except that a *repeated* border time crosses to
+    # the right interval (so discontinuous controls can be read from both
+    # sides of a switch). The implementation here is vectorized: one
+    # searchsorted pass plus boolean masks, no stateful walk.
 
-    def _interval_partition(self, t: np.ndarray):
-        """Assign each (scaled) output time to a subinterval; a repeated time
-        at an interval border crosses into the next interval (so
-        discontinuous controls can be sampled from both sides)."""
-        parts = [[] for _ in range(self._N)]
-        n_old = 0
-        for i, t_ in enumerate(t):
-            while self._mesh[n_old + 1] < t_ and not self._almost_equal(
-                self._mesh[n_old + 1], t_
-            ):
-                n_old += 1
-            if (
-                self._almost_equal(self._mesh[n_old + 1], t_)
-                and i > 0
-                and self._almost_equal(t[i - 1], t_)
-                and n_old + 1 < self._N
-            ):
-                n_old += 1
-            parts[n_old].append(t_)
-        return parts
+    @staticmethod
+    def _near(a, b) -> np.ndarray:
+        """Elementwise closeness with a 1e-8 absolute + relative band."""
+        return np.abs(np.asarray(a) - np.asarray(b)) <= 1e-8 * (
+            1.0 + np.abs(np.asarray(b))
+        )
+
+    def _interval_counts(self, tau: np.ndarray) -> np.ndarray:
+        """How many (ascending, scaled) output times land in each
+        subinterval, honoring the border rules above. Because ``tau`` is
+        ascending and the assignment is monotone, splitting ``tau`` by these
+        counts reproduces the partition."""
+        edges = np.asarray(self._mesh, dtype=np.float64)
+        N = self._N
+        k = np.clip(np.searchsorted(edges, tau, side="right") - 1, 0, N - 1)
+        # tolerance-snap: close to the left edge of the located interval
+        # means the point sits ON an interior border and belongs left
+        on_left_edge = (k > 0) & self._near(tau, edges[k])
+        on_right_edge = (k + 1 < N) & self._near(tau, edges[np.minimum(k + 1, N)])
+        base = np.where(on_left_edge, k - 1, k)
+        at_border = on_left_edge | on_right_edge
+        # a duplicate of the previous time at a border crosses rightward
+        dup = np.zeros_like(at_border)
+        if tau.size > 1:
+            dup[1:] = self._near(tau[1:], tau[:-1])
+        assign = np.where(at_border & dup & (base + 1 < N), base + 1, base)
+        return np.bincount(assign, minlength=N)
 
     def _guard_t(self, t: np.ndarray) -> np.ndarray:
+        """Validate output times (ascending, inside [t_0, t_f] up to a 1e-8
+        band) and return them scaled to [0, 1]."""
         t = np.array(t, dtype=np.float64)
-        for i in range(len(t) - 1):
-            if not np.isclose(t[i], t[i + 1]) and t[i] > t[i + 1]:
-                raise ValueError("t is not in ascending order")
-        if t[0] < self.t_0:
-            if np.isclose(t[0], self.t_0, rtol=0, atol=1e-8):
-                t[0] = self.t_0
-            else:
-                raise ValueError("t[0] must be equal or greater than t_0")
-        if t[-1] > self.t_f:
-            if np.isclose(t[-1], self.t_f, rtol=0, atol=1e-8):
-                t[-1] = self.t_f
-            else:
-                raise ValueError("t[-1] must be equal or smaller than t_f")
-        return (t - self.t_0) / (self.t_f - self.t_0)
+        if t.size > 1:
+            drop = t[:-1] - t[1:]
+            if np.any((drop > 0) & ~np.isclose(t[:-1], t[1:])):
+                raise ValueError("output times must be in ascending order")
+        lo, hi = self.t_0, self.t_f
+        if t[0] < lo - 1e-8 or t[-1] > hi + 1e-8:
+            raise ValueError(
+                f"output times must lie within [{lo}, {hi}] "
+                f"(got [{t[0]}, {t[-1]}])"
+            )
+        t[0] = max(t[0], lo)
+        t[-1] = min(t[-1], hi)
+        return (t - lo) / (hi - lo)
 
     # -- dense assembly (shared vs non-shared borders) -------------------
     @staticmethod
@@ -148,11 +159,11 @@ class VariableBase:
         raise NotImplementedError
 
     def _matrix(self, t, nodes, l_idx, r_idx, builder, assemble):
-        t = self._guard_t(t)
-        parts = self._interval_partition(t)
+        tau = self._guard_t(t)
+        counts = self._interval_counts(tau)
+        groups = np.split(tau, np.cumsum(counts)[:-1])
         blocks = [
-            builder(nodes[l_idx[i] : r_idx[i]], np.array(t_))
-            for i, t_ in enumerate(parts)
+            builder(nodes[l_idx[i] : r_idx[i]], g) for i, g in enumerate(groups)
         ]
         return assemble(blocks)
 
@@ -230,71 +241,83 @@ class VariableBase:
         return self._t_u * (self.t_f - self.t_0) + self.t_0
 
     def adapt(self, phase):
-        """Re-interpolate onto a phase with a different mesh (warm start for
-        the refine loop; reference: ``variablebase.py:360-385``)."""
-        V_x = self.V_x(phase.t_x * (self.t_f - self.t_0) + self.t_0)
-        V_u = self.V_u(phase.t_u * (self.t_f - self.t_0) + self.t_0)
+        """Re-interpolate this solution onto a phase with a different mesh
+        (warm start for the refine loop; same role as the reference's
+        ``variablebase.py:360-385``).
+
+        One interpolation matrix per variable *kind* (state grid / control
+        grid) is built against the new phase's node times, then applied to
+        every variable of that kind."""
+        span = self.t_f - self.t_0
         data_new = np.empty(phase.L)
-        for i in range(phase.n_x):
-            data_new[phase.l_v[i] : phase.r_v[i]] = V_x @ self.x[i]
-        for i in range(phase.n_u):
-            data_new[phase.l_v[phase.n_x + i] : phase.r_v[phase.n_x + i]] = (
-                V_u @ self.u[i]
-            )
-        data_new[-2] = self._data[-2]
-        data_new[-1] = self._data[-1]
+        for kind, n_var, offset, V in (
+            ("x", phase.n_x, 0, self.V_x(phase.t_x * span + self.t_0)),
+            ("u", phase.n_u, phase.n_x, self.V_u(phase.t_u * span + self.t_0)),
+        ):
+            src = self.x if kind == "x" else self.u
+            for i in range(n_var):
+                lo, hi = phase.l_v[offset + i], phase.r_v[offset + i]
+                data_new[lo:hi] = V @ src[i]
+        data_new[-2:] = (self.t_0, self.t_f)
         return type(self)(phase, data_new)
+
+
+def _guess_time_span(phase, fill: float) -> tuple:
+    """Initial ``(t_0, t_f)`` for a guess: configured values where FIXED,
+    otherwise the fill value pushed half a unit outward so the initial
+    ``t_f - t_0`` span is never degenerate (reference convention,
+    ``variablebase.py:388-460``)."""
+    t0 = phase.t_0 if phase.info_t_0.t == BcType.FIXED else fill - 0.5
+    tf = phase.t_f if phase.info_t_f.t == BcType.FIXED else fill + 0.5
+    return t0, tf
+
+
+def _fixed_endpoint_values(phase, i: int) -> tuple:
+    """``(bc_0 or None, bc_f or None)`` for state ``i`` — None when not
+    FIXED."""
+    b0 = phase.bc_0[i] if phase.info_bc_0[i].t == BcType.FIXED else None
+    bf = phase.bc_f[i] if phase.info_bc_f[i].t == BcType.FIXED else None
+    return b0, bf
+
+
+def _make_guess(Variable, phase, fill: float, interp: bool) -> "VariableBase":
+    """Shared guess-builder core.
+
+    ``interp=False``: constant ``fill`` everywhere, with FIXED endpoint
+    values written onto the first/last state samples only.
+    ``interp=True``: each state profile is the line through its FIXED
+    endpoints (constant when only one end is FIXED, ``fill`` when neither).
+    """
+    if not phase.ok:
+        raise ValueError("phase is not fully configured")
+    v = Variable(phase, np.full(phase.L, float(fill)))
+    for i in range(phase.n_x):
+        b0, bf = _fixed_endpoint_values(phase, i)
+        if interp:
+            if b0 is not None and bf is not None:
+                v.x[i] = b0 + (bf - b0) * v._t_x
+            elif b0 is not None:
+                v.x[i] = b0
+            elif bf is not None:
+                v.x[i] = bf
+        else:
+            if b0 is not None:
+                v.x[i][0] = b0
+            if bf is not None:
+                v.x[i][-1] = bf
+    v.t_0, v.t_f = _guess_time_span(phase, float(fill))
+    return v
 
 
 def constant_guess_base(
     Variable: Type[VariableBase], phase, value: float = 1.0
 ) -> VariableBase:
-    """Constant guess honoring FIXED boundary conditions (reference:
-    ``variablebase.py:388-420``)."""
-    if not phase.ok:
-        raise ValueError("phase is not fully configured")
-    value = float(value)
-    v = Variable(phase, np.full(phase.L, value))
-    for i in range(phase.n_x):
-        if phase.info_bc_0[i].t == BcType.FIXED:
-            v.x[i][0] = phase.bc_0[i]
-        if phase.info_bc_f[i].t == BcType.FIXED:
-            v.x[i][-1] = phase.bc_f[i]
-    if phase.info_t_0.t == BcType.FIXED:
-        v.t_0 = phase.t_0
-    else:
-        v.t_0 -= 0.5
-    if phase.info_t_f.t == BcType.FIXED:
-        v.t_f = phase.t_f
-    else:
-        v.t_f += 0.5
-    return v
+    """Constant guess honoring FIXED boundary conditions."""
+    return _make_guess(Variable, phase, value, interp=False)
 
 
 def linear_guess_base(
     Variable: Type[VariableBase], phase, default: float = 1.0
 ) -> VariableBase:
-    """Linear guess between FIXED boundary conditions (reference:
-    ``variablebase.py:423-460``)."""
-    if not phase.ok:
-        raise ValueError("phase is not fully configured")
-    default = float(default)
-    v = Variable(phase, np.full(phase.L, default))
-    for i in range(phase.n_x):
-        t0_fixed = phase.info_bc_0[i].t == BcType.FIXED
-        tf_fixed = phase.info_bc_f[i].t == BcType.FIXED
-        if t0_fixed and tf_fixed:
-            v.x[i] = v._t_x * (phase.bc_f[i] - phase.bc_0[i]) + phase.bc_0[i]
-        elif t0_fixed:
-            v.x[i] = phase.bc_0[i]
-        elif tf_fixed:
-            v.x[i] = phase.bc_f[i]
-    if phase.info_t_0.t == BcType.FIXED:
-        v.t_0 = phase.t_0
-    else:
-        v.t_0 -= 0.5
-    if phase.info_t_f.t == BcType.FIXED:
-        v.t_f = phase.t_f
-    else:
-        v.t_f += 0.5
-    return v
+    """Per-state linear guess between FIXED boundary conditions."""
+    return _make_guess(Variable, phase, default, interp=True)

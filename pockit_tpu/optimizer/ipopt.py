@@ -20,13 +20,13 @@ _OPTION_MAP = {
     "max_iter": "max_iter",
     "mu_init": "mu_init",
     "bound_relax_factor": "bound_relax",
+    "mu_strategy": "mu_strategy",  # 'monotone' / 'adaptive', same values
 }
 _IGNORED = {
     "print_level",
     "sb",
     "linear_solver",
     "hessian_approximation",
-    "mu_strategy",
     "output_file",
     "print_timing_statistics",
 }

@@ -719,8 +719,11 @@ def make_ip_solver(
             augment = took_step & ~(sw_eff & ~use_fb)
 
             def _augment(th_f, ph_f):
-                # replace the least-restrictive free/worst slot
+                # replace the least-restrictive free/worst slot; slot 0 holds
+                # the theta_max cap and must never be evicted (losing it would
+                # drop the infeasibility upper bound for the rest of the stage)
                 score = jnp.where(jnp.isinf(th_f) & (th_f > 0), inf, th_f)
+                score = score.at[0].set(-inf)
                 idx = jnp.argmax(score)
                 return (
                     th_f.at[idx].set((1.0 - GAMMA_TH) * theta0),

@@ -19,6 +19,12 @@ def save_solution(path: str, system, value) -> None:
     """Save a solution/guess (the ``value`` format of ``check``/``refine``:
     a single Variable, or per-phase Variables + statics array)."""
     single = isinstance(value, VariableBase)
+    if single and system.n_s > 0:
+        raise ValueError(
+            "system has static parameters: pass [*variables, statics], not a "
+            "bare Variable (a bare Variable would round-trip to a malformed "
+            "guess)"
+        )
     vars_ = [value] if single else list(value[: system.n_p])
     statics = (
         np.zeros(0)

@@ -50,6 +50,7 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
         compiled._ipm_cache = cache
     if options not in cache:
         structured = None
+        block = None
         if options.kkt_solver == "structured":
             from pockit_tpu.solver.structured import structured_layout
 
@@ -59,9 +60,20 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
 
                 warnings.warn(
                     "structured KKT solver requested but the problem does "
-                    "not fit the block-arrow pattern (non-uniform degrees, "
-                    "system constraints, or nonlinear-in-integral "
-                    "objective); falling back to the dense solver"
+                    "not fit the block-arrow pattern (non-uniform interval "
+                    "degrees); falling back to the dense solver"
+                )
+        elif options.kkt_solver in ("auto", "block"):
+            from pockit_tpu.transcription.kkt import make_block_kkt
+
+            block = make_block_kkt(system)
+            if block is None and options.kkt_solver == "block":
+                import warnings
+
+                warnings.warn(
+                    "block KKT solver requested but the problem has "
+                    "non-uniform interval degrees; falling back to the "
+                    "dense solver"
                 )
         cache[options] = jax.jit(
             make_ip_solver(
@@ -71,6 +83,7 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
                 compiled.m,
                 options,
                 structured=structured,
+                block=block,
             )
         )
     bounds = Bounds(
@@ -183,6 +196,8 @@ def solve_batch_drained(
     first_pass_iters: int = 8,
     drain_frac: int = 8,
     max_drain_rounds: int = 4,
+    first_pass_options: Optional[IPOptions] = None,
+    return_first_pass_mask: bool = False,
 ):
     """Batched solve with straggler draining.
 
@@ -190,13 +205,19 @@ def solve_batch_drained(
     converges, so a few hard instances dominate wall time. This runs a
     short-iteration first pass over the full batch, then compacts the
     unconverged lanes into a small (B/drain_frac) batch and finishes them
-    there. Returns ``(status, obj, iterations, z)`` as host numpy arrays.
+    there. Returns ``(status, obj, iterations, z)`` as host numpy arrays
+    (plus the first-pass convergence mask when
+    ``return_first_pass_mask``). ``first_pass_options`` overrides the
+    first-pass solver options entirely; by default the drain options with
+    ``max_iter=first_pass_iters``.
     """
     import dataclasses
 
     if optimizer_options is None:
         optimizer_options = default_options()
-    opts_fast = dataclasses.replace(optimizer_options, max_iter=first_pass_iters)
+    opts_fast = first_pass_options or dataclasses.replace(
+        optimizer_options, max_iter=first_pass_iters
+    )
     B = guess_batch.shape[0]
     B_drain = max(B // drain_frac, 8)
 
@@ -207,6 +228,7 @@ def solve_batch_drained(
     obj = np.array(res.obj)
     iters = np.array(res.iterations)
     z = np.array(res.z)
+    first_pass_mask = status == 0
 
     compiled = system.compiled
     if bc_overrides is None:
@@ -236,4 +258,6 @@ def solve_batch_drained(
         z[take] = np.asarray(res2.z)[:uniq]
         pending = pending[uniq:]
         rounds += 1
+    if return_first_pass_mask:
+        return status, obj, iters, z, first_pass_mask
     return status, obj, iters, z

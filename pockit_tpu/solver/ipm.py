@@ -89,6 +89,47 @@ class _State(NamedTuple):
     kkt: jax.Array
 
 
+def _emit_live_metrics(it, row, finished_prev):
+    """Host-side sink for ``IPOptions.live_metrics`` (SURVEY §5:
+    per-iteration metric streams). Handles both scalar solves and batched
+    solves (vmap delivers batched rows; aggregates are printed)."""
+    row = np.asarray(row)
+    it = np.asarray(it)
+    if row.ndim == 1:
+        kkt, mu, alpha, dw, theta, _ = row
+        print(
+            f"[ipm] it={int(it):3d} kkt={kkt:9.3e} mu={mu:8.2e} "
+            f"alpha={alpha:6.4f} delta_w={dw:8.2e} theta={theta:9.3e}"
+        )
+    else:
+        active = ~np.asarray(finished_prev)
+        n_act = int(active.sum())
+        if n_act == 0:
+            return
+        r = row[active]
+        print(
+            f"[ipm] it~{int(it.max()):3d} active={n_act:5d} "
+            f"kkt(max/med)={r[:, 0].max():9.3e}/{np.median(r[:, 0]):9.3e} "
+            f"mu(med)={np.median(r[:, 1]):8.2e} "
+            f"alpha(med)={np.median(r[:, 2]):6.4f}"
+        )
+
+
+def summarize(trace, iterations=None) -> str:
+    """Render an ``IPResult.trace`` array as an IPOPT-style iteration
+    table. For batched results pass one lane: ``summarize(res.trace[i],
+    res.iterations[i])``."""
+    trace = np.asarray(trace)
+    k = int(iterations) if iterations is not None else trace.shape[0]
+    lines = ["  it   kkt_error        mu     alpha   delta_w     theta"]
+    for i in range(min(k, trace.shape[0])):
+        kkt, mu, alpha, dw, theta, _ = trace[i]
+        lines.append(
+            f"{i:4d}  {kkt:10.3e} {mu:9.2e}  {alpha:8.4f} {dw:9.2e} {theta:9.3e}"
+        )
+    return "\n".join(lines)
+
+
 def _minv(mask, x):
     """Masked reciprocal: 1/x where mask else 0."""
     return jnp.where(mask, 1.0 / jnp.where(mask, x, 1.0), 0.0)
@@ -113,6 +154,7 @@ def make_ip_solver(
     m: int,
     options: IPOptions = IPOptions(),
     structured=None,
+    block=None,
 ):
     """Build a jittable ``solve(z0, bounds, rt)`` for the NLP
 
@@ -122,18 +164,45 @@ def make_ip_solver(
     for per-instance problem parameters in batched sweeps). Derivatives are
     taken by JAX AD here, so callers supply only values.
 
-    ``structured`` is an optional
-    :class:`pockit_tpu.solver.structured.StructuredLayout`; when given and
-    ``options.kkt_solver == "structured"``, KKT systems are solved with the
-    interval-Schur factorization (O(N n³)) instead of a dense Cholesky
-    (O(L³)).
+    Linear-solver modes (``options.kkt_solver``):
+
+    - ``"block"`` (production; ``"auto"`` selects it when ``block`` — a
+      :class:`pockit_tpu.transcription.kkt.BlockKKT` — is given): the
+      condensed matrix is assembled directly in block-arrow storage from
+      interval-local AD and factored by interior elimination; J and W act
+      matrix-free (``jax.linearize`` / ``vjp`` products). Nothing
+      ``(L, L)``- or ``(m, L)``-shaped exists inside the iteration.
+    - ``"structured"``: interval-Schur factorization gathered from a dense
+      condensed matrix (oracle path; requires ``structured``, a
+      :class:`~pockit_tpu.solver.structured.StructuredLayout`).
+    - ``"dense"``: dense Cholesky of the condensed matrix.
     """
     opt = options
-    use_structured = structured is not None and opt.kkt_solver == "structured"
+    mode = opt.kkt_solver
+    if mode == "auto":
+        mode = "block" if block is not None else "dense"
+    use_block = mode == "block" and block is not None
+    use_structured = mode == "structured" and structured is not None
     if use_structured:
         from pockit_tpu.solver.structured import make_structured_factor
 
         _s_factor, _s_apply = make_structured_factor(structured)
+    if use_block:
+        from pockit_tpu.solver.structured import (
+            make_block_arrow_core,
+            make_pcg_apply,
+        )
+
+        _bk_factor, _bk_apply = make_block_arrow_core(
+            block.interior_pad, block.layout.reduced, n
+        )
+        _bk_krylov = int(block.layout.krylov_rank)
+        _bk_pcg = (
+            make_pcg_apply(_bk_apply, _bk_krylov + 2) if _bk_krylov else None
+        )
+        _bk_interior = jnp.asarray(block.interior_pad)
+        _bk_reduced = jnp.asarray(block.layout.reduced)
+        _bk_assemble = block.assemble
 
     grad_fn = jax.grad(f_fn)
 
@@ -267,9 +336,11 @@ def make_ip_solver(
             kkt=jnp.asarray(jnp.inf, dtype),
         )
 
-        def _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, mu):
-            """Scaled KKT error at barrier parameter ``mu`` (IPOPT eq. 5)."""
-            r_stat = g + (J.T @ y if m else 0.0) - w_l + w_u
+        def _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, jty, c0, mu):
+            """Scaled KKT error at barrier parameter ``mu`` (IPOPT eq. 5).
+            ``jty`` is the precomputed ``J^T y`` (matrix-free in block
+            mode)."""
+            r_stat = g + jty - w_l + w_u
             # slack stationarity applies only to inequality rows (equality
             # rows have no slack variable)
             r_dual_s = (
@@ -325,11 +396,35 @@ def make_ip_solver(
             mu = st.mu
 
             g = grad_fn(z, rt)
-            J = jac_fn(z, rt)
-            c0 = c_fn(z, rt) if m else jnp.zeros((0,), dtype)
+            if use_block:
+                # matrix-free derivative operators: one linearization of c
+                # gives J products, one vjp gives J^T products, and one
+                # forward-over-reverse linearization of the Lagrangian
+                # gradient gives W products — J and W are never built
+                if m:
+                    c0, j_mv = jax.linearize(lambda v: c_fn(v, rt), z)
+                    _, _cvjp = jax.vjp(lambda v: c_fn(v, rt), z)
+                    jt_mv = lambda u: _cvjp(u)[0]
+                else:
+                    c0 = jnp.zeros((0,), dtype)
+                    j_mv = lambda v: jnp.zeros((0,), dtype)
+                    jt_mv = lambda u: jnp.zeros((n,), dtype)
+                lag_g, w_sig_mv = jax.linearize(
+                    jax.grad(
+                        lambda zz: f_fn(zz, rt)
+                        + (c_fn(zz, rt) @ y if m else 0.0)
+                    ),
+                    z,
+                )
+                w_mv = w_sig_mv  # W @ v (Lagrangian Hessian product)
+                jty = lag_g - g
+            else:
+                J = jac_fn(z, rt)
+                c0 = c_fn(z, rt) if m else jnp.zeros((0,), dtype)
+                jty = J.T @ y if m else jnp.zeros((n,), dtype)
 
             # -- convergence bookkeeping --------------------------------
-            E0 = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, 0.0)
+            E0 = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, jty, c0, 0.0)
             newly_done = E0 <= opt.tol
             blown = ~jnp.isfinite(E0) | (jnp.max(jnp.abs(z)) > opt.diverge_threshold)
 
@@ -359,7 +454,7 @@ def make_ip_solver(
                 th_f, ph_f = st.th_f, st.ph_f
             else:
                 # monotone Fiacco-McCormick ladder; filter resets with mu
-                E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, J, c0, mu)
+                E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, jty, c0, mu)
                 shrink = E_mu <= opt.kappa_eps * mu
                 mu = jnp.where(
                     shrink,
@@ -389,21 +484,71 @@ def make_ip_solver(
             delta_c = jnp.maximum(delta_c_floor, opt.delta_c_scale * mu)
             D = jnp.where(eq, 1.0 / delta_c, sigma_s)
 
-            g_z = g + (J.T @ y if m else 0.0) - mu * inv_al + mu * inv_au
+            g_z = g + jty - mu * inv_al + mu * inv_au
             g_s = jnp.where(eq, 0.0, -y - mu * inv_bl + mu * inv_bu)
 
-            W = hess_lag_fn(z, y, rt)
-            K0 = W + jnp.diag(sigma_z)
-            if m:
-                K0 = K0 + (J.T * D) @ J
-            rhs = -g_z - (J.T @ (D * r_c + g_s) if m else 0.0)
+            if use_block:
+                # block-arrow assembly from interval-local AD — no W, no J,
+                # no (L, L) condensed matrix anywhere
+                K_ii0, K_ir0, K_rr0 = _bk_assemble(z, y, D, rt)
+                ni_b = K_ii0.shape[-1]
+                nr_b = K_rr0.shape[-1]
+                eye_ni = jnp.eye(ni_b, dtype=dtype)
+                eye_nr = jnp.eye(nr_b, dtype=dtype)
+                sig_ext = jnp.concatenate([sigma_z, jnp.zeros((1,), dtype)])
+                K_ii0 = K_ii0 + eye_ni * sig_ext[_bk_interior][:, :, None]
+                K_rr0 = K_rr0 + jnp.diag(sigma_z[_bk_reduced])
+                rhs = -g_z - (jt_mv(D * r_c + g_s) if m else 0.0)
+            else:
+                W = hess_lag_fn(z, y, rt)
+                K0 = W + jnp.diag(sigma_z)
+                if m:
+                    K0 = K0 + (J.T * D) @ J
+                rhs = -g_z - (J.T @ (D * r_c + g_s) if m else 0.0)
 
             # -- inertia correction: escalate delta_w until the
             # factorization is solid AND the step is sane -----------------
             eye = jnp.eye(n, dtype=dtype)
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
-            if use_structured:
+            if use_block:
+
+                def lin_apply(fac, b):
+                    core, delta = fac[:-1], fac[-1]
+                    if not _bk_krylov:
+                        return _bk_apply(core, b)
+
+                    # true-K matvec for the low-rank discrepancy CG:
+                    # matrix-free W / J products, diagonal terms explicit
+                    def matvec(v):
+                        out = w_mv(v) + (sigma_z + delta) * v
+                        if m:
+                            out = out + jt_mv(D * j_mv(v))
+                        return out
+
+                    return _bk_pcg(core, b, matvec)
+
+                def lin_factor_delta(delta):
+                    K_ii = K_ii0 + eye_ni * delta
+                    K_rr = K_rr0 + eye_nr * delta
+                    core, p_min, p_max = _bk_factor(K_ii, K_ir0, K_rr)
+                    ok = (
+                        jnp.isfinite(p_min)
+                        & jnp.isfinite(p_max)
+                        & (p_min > pivot_rtol * p_max)
+                    )
+                    return core + (jnp.asarray(delta, dtype),), ok
+
+                _fshape = jax.eval_shape(
+                    lambda a, b, c: _bk_factor(a, b, c)[0],
+                    jax.ShapeDtypeStruct(K_ii0.shape, dtype),
+                    jax.ShapeDtypeStruct(K_ir0.shape, dtype),
+                    jax.ShapeDtypeStruct(K_rr0.shape, dtype),
+                )
+                factors0 = jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), _fshape
+                ) + (jnp.asarray(0.0, dtype),)
+            elif use_structured:
 
                 def lin_factor(K):
                     factors, p_min, p_max = _s_factor(K)
@@ -455,8 +600,11 @@ def make_ip_solver(
                 factors0 = (eye, jnp.ones((n,), dtype))
 
             def _try(delta):
-                K = K0 + delta * eye
-                fac, chol_ok = lin_factor(K)
+                if use_block:
+                    fac, chol_ok = lin_factor_delta(delta)
+                else:
+                    K = K0 + delta * eye
+                    fac, chol_ok = lin_factor(K)
                 dz = lin_apply(fac, rhs)
                 ok = (
                     chol_ok
@@ -502,7 +650,10 @@ def make_ip_solver(
 
             def _expand(dz_):
                 """Recover slack/dual directions from a primal direction."""
-                Jdz_ = J @ dz_ if m else jnp.zeros((0,), dtype)
+                if m:
+                    Jdz_ = j_mv(dz_) if use_block else J @ dz_
+                else:
+                    Jdz_ = jnp.zeros((0,), dtype)
                 dy_ = D * (Jdz_ + r_c) + g_s
                 ds_ = jnp.where(eq, 0.0, Jdz_ + r_c)
                 return Jdz_, dy_, ds_
@@ -519,32 +670,46 @@ def make_ip_solver(
             # the plain perturbed step) when delta_w is an intentional
             # inertia correction rather than a numerical floor.
             if m:
-                # NOTE: (W + diag(sigma_z)) @ dz must be computed from the
-                # explicit matrix, NOT as K0 @ dz - J^T D (J dz): K0 carries
+                # NOTE: (W + diag(sigma_z)) @ dz must be computed in its
+                # explicit form, NOT as K0 @ dz - J^T D (J dz): K0 carries
                 # 1/delta_c-scale terms and that difference cancels
                 # catastrophically in float32, destroying the refinement
-                # (observed as a 2x iteration-count regression)
-                A_diag = W + jnp.diag(sigma_z)
+                # (observed as a 2x iteration-count regression). The HVP in
+                # block mode IS the explicit form.
+                if use_block:
+                    a_mv = lambda v: w_mv(v) + sigma_z * v
+                    jt_ = jt_mv
+                    j_ = j_mv
+                else:
+                    A_diag = W + jnp.diag(sigma_z)
+                    a_mv = lambda v: A_diag @ v
+                    jt_ = lambda u: J.T @ u
+                    j_ = lambda v: J @ v
                 inv_sig_s = jnp.where(eq | (sigma_s <= 0.0), 0.0, 1.0 / jnp.where(sigma_s > 0.0, sigma_s, 1.0))
                 numerical_reg = delta_w <= 100.0 * delta_w_floor
                 for _ in range(opt.refine_steps):
-                    rho1 = -g_z - A_diag @ dz - delta_w * dz - J.T @ dy
+                    rho1 = -g_z - a_mv(dz) - delta_w * dz - jt_(dy)
                     rho2 = -(r_c + Jdz) + jnp.where(
                         eq, 0.0, (dy - g_s) * inv_sig_s
                     )
-                    dzc = chol_solve(rho1 + J.T @ (D * rho2))
-                    dyc = D * ((J @ dzc) - rho2)
+                    dzc = chol_solve(rho1 + jt_(D * rho2))
+                    dyc = D * (j_(dzc) - rho2)
                     scale = jnp.where(numerical_reg, 1.0, 0.0)
                     dz = dz + scale * dzc
                     dy = dy + scale * dyc
-                    Jdz = J @ dz
+                    Jdz = j_(dz)
                 ds = jnp.where(eq, 0.0, Jdz + r_c)
             else:
                 numerical_reg = delta_w <= 100.0 * delta_w_floor
                 delta_target = jnp.where(numerical_reg, 0.0, delta_w)
+                if use_block:
+                    kref_mv = lambda v: (
+                        w_mv(v) + (sigma_z + delta_target) * v
+                    )
+                else:
+                    kref_mv = lambda v: (K0 + delta_target * eye) @ v
                 for _ in range(opt.refine_steps):
-                    K_ref = K0 + delta_target * eye
-                    dz = dz - chol_solve(K_ref @ dz - rhs)
+                    dz = dz - chol_solve(kref_mv(dz) - rhs)
             dy_cap = 1e3 * (one + jnp.max(jnp.abs(y), initial=0.0))
             dy_norm = jnp.max(jnp.abs(dy), initial=0.0)
             dy = dy * jnp.minimum(1.0, dy_cap / jnp.maximum(dy_norm, 1e-30))
@@ -627,7 +792,11 @@ def make_ip_solver(
                 c_t = c_fn(z_t, rt) if m else jnp.zeros((0,), dtype)
                 s_t = s + a_pri_max * ds
                 r_soc = jnp.where(eq, c_t - cl, c_t - s_t)
-                dz_cor = chol_solve(-(J.T @ (D * r_soc))) if m else dz * 0.0
+                if m:
+                    jtr = jt_mv(D * r_soc) if use_block else J.T @ (D * r_soc)
+                    dz_cor = chol_solve(-jtr)
+                else:
+                    dz_cor = dz * 0.0
                 dz_soc = a_pri_max * dz + dz_cor
                 _, _, ds_soc = _expand(dz_soc)
                 a_soc = _ftb_primal(dz_soc, ds_soc)
@@ -684,7 +853,11 @@ def make_ip_solver(
             # -- feasibility fallback: if every trial failed, take a damped
             # Gauss-Newton step on the constraint violation alone ----------
             def _feas_dir():
-                dz_f = chol_solve(-(J.T @ (D * r_c))) if m else dz * 0.0
+                if m:
+                    jtr = jt_mv(D * r_c) if use_block else J.T @ (D * r_c)
+                    dz_f = chol_solve(-jtr)
+                else:
+                    dz_f = dz * 0.0
                 _, _, ds_f = _expand(dz_f)
                 return dz_f, ds_f
 
@@ -799,6 +972,10 @@ def make_ip_solver(
             trace_n = lax.dynamic_update_slice(
                 st.trace, trace_row[None, :], (st.it, jnp.asarray(0, st.it.dtype))
             )
+            if opt.live_metrics:
+                jax.debug.callback(
+                    _emit_live_metrics, st.it, trace_row, finished_prev=st.done
+                )
 
             # freeze finished lanes (vmap-safe), record status transitions
             finished = st.done | newly_done | blown | infeasible
@@ -839,10 +1016,15 @@ def make_ip_solver(
 
         final = lax.while_loop(cond, body, state)
 
-        # recompute the final KKT error for reporting
+        # recompute the final KKT error for reporting (J^T y via one vjp —
+        # no Jacobian materialization in any mode)
         g = grad_fn(final.z, rt)
-        J = jac_fn(final.z, rt)
-        c0 = c_fn(final.z, rt) if m else jnp.zeros((0,), dtype)
+        if m:
+            c0, _cvjp_f = jax.vjp(lambda v: c_fn(v, rt), final.z)
+            jty_f = _cvjp_f(final.y)[0]
+        else:
+            c0 = jnp.zeros((0,), dtype)
+            jty_f = jnp.zeros((n,), dtype)
         kkt = _kkt_error(
             final.z,
             final.s,
@@ -852,7 +1034,7 @@ def make_ip_solver(
             final.v_l,
             final.v_u,
             g,
-            J,
+            jty_f,
             c0,
             0.0,
         )

@@ -48,11 +48,20 @@ class IPOptions:
     refine_steps: int = 2
     # watchdog: declare divergence when primal iterates blow up
     diverge_threshold: float = 1e20
-    # KKT linear solver: "dense" (Cholesky of the full condensed matrix)
-    # or "structured" (interval-Schur block-arrow factorization; requires a
-    # StructuredLayout passed to make_ip_solver)
-    kkt_solver: str = "dense"
+    # KKT linear solver:
+    # - "auto": "block" when the problem fits the block-arrow pattern,
+    #   "dense" otherwise (the production default)
+    # - "block": per-interval assembled block-arrow factorization with
+    #   matrix-free J/W products — nothing (L, L)-shaped is ever built
+    # - "structured": interval-Schur factorization fed by gathering a
+    #   dense condensed matrix (oracle/debug path)
+    # - "dense": Cholesky of the full condensed matrix
+    kkt_solver: str = "auto"
     # matmul precision for the whole solve ('highest' forces true float32
     # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
     # passes — fatal for Cholesky factorizations)
     matmul_precision: str = "highest"
+    # stream per-iteration metrics (kkt, mu, alpha, delta_w, theta) to the
+    # host via jax.debug.callback — IPOPT's console log, as an opt-in
+    # (batched solves print batch aggregates)
+    live_metrics: bool = False

@@ -154,76 +154,73 @@ def pattern_violation(K, layout: StructuredLayout) -> jax.Array:
     return jnp.max(jnp.where(allowed, 0.0, jnp.abs(K)))
 
 
-def make_structured_factor(layout: StructuredLayout):
-    """Build ``(factor, apply)``:
+def make_block_arrow_core(interior, reduced, n: int):
+    """Factor/apply for a block-arrow SPD system given directly in block
+    storage ``(K_ii, K_ir, K_rr)`` — the production form fed by
+    ``transcription.kkt.make_block_kkt`` (nothing (L, L)-shaped exists).
 
-    - ``factor(K) -> (factors, pivot_min, pivot_max)`` eliminates all
-      interval interiors with one batched Cholesky and factors the reduced
-      border+arrow Schur complement; the pivot extrema across both levels
-      are the inertia/conditioning signal the interior-point
-      regularization loop consumes.
-    - ``apply(factors, rhs) -> x`` back-solves for any right-hand side.
+    ``interior`` may be padded with the phantom column ``n`` (JAX drops
+    out-of-bounds scatter updates; gathers read a zero-extended copy), so
+    ragged multi-phase interiors are supported. Padded slots must carry
+    1.0 on the assembled diagonal.
 
-    The factors are a flat pytree of arrays, so they thread through
-    ``lax.while_loop`` state and one factorization serves the Newton step,
-    its iterative refinement, second-order corrections, and the
-    feasibility fallback. Jacobi equilibration is applied per level for
-    float32 robustness.
+    - ``factor(K_ii, K_ir, K_rr) -> (factors, pivot_min, pivot_max)``:
+      one batched Cholesky eliminates every interval interior in
+      parallel, then the small border+arrow Schur complement is factored
+      densely. Per-level Jacobi equilibration keeps float32 honest; the
+      pivot extrema feed the interior-point inertia loop.
+    - ``apply(factors, rhs) -> x`` back-solves any right-hand side; the
+      factors are a flat pytree so they thread through ``lax.while_loop``
+      state and one factorization serves the Newton step, its iterative
+      refinement, second-order corrections, and the feasibility fallback.
     """
-    interior = jnp.asarray(layout.interior)  # (nb, ni)
-    reduced = jnp.asarray(layout.reduced)  # (nr,)
+    interior = jnp.asarray(interior)  # (nb, ni), possibly padded with n
+    reduced = jnp.asarray(reduced)  # (nr,)
 
-    def factor(K):
-        K_ii = K[interior[:, :, None], interior[:, None, :]]  # (nb, ni, ni)
-        K_ir = K[interior[:, :, None], reduced[None, None, :]]  # (nb, ni, nr)
-        K_rr = K[reduced[:, None], reduced[None, :]]  # (nr, nr)
+    def _blk_solve(L_i, sc_i, B):
+        Bs = B * sc_i[:, :, None]
+        t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
+        X = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L_i, 1, 2), t, lower=False
+        )
+        return X * sc_i[:, :, None]
 
+    def factor(K_ii, K_ir, K_rr):
+        dtype = K_ii.dtype
         sc_i = jax.lax.rsqrt(
             jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
         )  # (nb, ni)
         K_ii_t = K_ii * sc_i[:, :, None] * sc_i[:, None, :]
         L_i = jnp.linalg.cholesky(K_ii_t)
         diag_i = jnp.diagonal(L_i, axis1=1, axis2=2)
-
-        def blk_solve(L_i, sc_i, B):
-            Bs = B * sc_i[:, :, None]
-            t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
-            X = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L_i, 1, 2), t, lower=False
-            )
-            return X * sc_i[:, :, None]
-
-        L_i_safe = jnp.where(jnp.isfinite(L_i), L_i, jnp.eye(L_i.shape[-1], dtype=K.dtype))
-        X_ir = blk_solve(L_i_safe, sc_i, K_ir)  # K_ii^{-1} K_ir
+        L_i_safe = jnp.where(
+            jnp.isfinite(L_i), L_i, jnp.eye(L_i.shape[-1], dtype=dtype)
+        )
+        X_ir = _blk_solve(L_i_safe, sc_i, K_ir)  # K_ii^{-1} K_ir
 
         S = K_rr - jnp.einsum("bik,bil->kl", K_ir, X_ir)
         sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
         S_t = S * sc_r[:, None] * sc_r[None, :]
         L_r = jnp.linalg.cholesky(S_t)
         diag_r = jnp.diagonal(L_r)
-        L_r_safe = jnp.where(jnp.isfinite(L_r), L_r, jnp.eye(L_r.shape[-1], dtype=K.dtype))
+        L_r_safe = jnp.where(
+            jnp.isfinite(L_r), L_r, jnp.eye(L_r.shape[-1], dtype=dtype)
+        )
 
         pivots = jnp.concatenate([diag_i.ravel(), diag_r])
         finite = jnp.all(jnp.isfinite(pivots))
         p_min = jnp.where(finite, jnp.min(pivots), jnp.nan)
         p_max = jnp.where(finite, jnp.max(pivots), jnp.nan)
-        factors = (L_i_safe, sc_i, X_ir, K_ir, L_r_safe, sc_r, K)
+        factors = (L_i_safe, sc_i, X_ir, K_ir, L_r_safe, sc_r)
         return factors, p_min, p_max
 
     def apply(factors, rhs):
-        """One pattern solve (exact when krylov_rank == 0)."""
-        L_i, sc_i, X_ir, K_ir, L_r, sc_r, K = factors
-        b_i = rhs[interior]  # (nb, ni)
+        L_i, sc_i, X_ir, K_ir, L_r, sc_r = factors
+        rhs_ext = jnp.concatenate([rhs, jnp.zeros((1,), rhs.dtype)])
+        b_i = rhs_ext[interior]  # (nb, ni); padded slots read 0
         b_r = rhs[reduced]  # (nr,)
 
-        Bs = b_i[:, :, None] * sc_i[:, :, None]
-        t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
-        x_bi = (
-            jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L_i, 1, 2), t, lower=False
-            )
-            * sc_i[:, :, None]
-        )[:, :, 0]
+        x_bi = _blk_solve(L_i, sc_i, b_i[:, :, None])[:, :, 0]
 
         r_red = b_r - jnp.einsum("bik,bi->k", K_ir, x_bi)
         t = jax.scipy.linalg.solve_triangular(L_r, sc_r * r_red, lower=True)
@@ -231,25 +228,21 @@ def make_structured_factor(layout: StructuredLayout):
 
         x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
         x = jnp.zeros_like(rhs)
-        x = x.at[interior.ravel()].set(x_i.ravel())
+        x = x.at[interior.ravel()].set(x_i.ravel())  # phantom index dropped
         x = x.at[reduced].set(x_r)
         return x
 
-    if layout.krylov_rank == 0:
-        return factor, apply
+    return factor, apply
 
-    # pattern-preconditioned conjugate gradients: the full K differs from
-    # its block-arrow pattern by a rank-r term, and CG with the pattern
-    # factorization as preconditioner removes a rank-r discrepancy in
-    # r + 1 steps (we run r + 2 for float headroom)
-    n_steps = int(layout.krylov_rank) + 2
 
-    def apply_pcg(factors, rhs):
-        K = factors[6]
+def make_pcg_apply(apply, n_steps: int):
+    """Pattern-preconditioned CG with an EXTERNAL matvec: solves
+    ``K x = rhs`` where ``K`` differs from the factored pattern by a
+    rank-r term and ``matvec`` applies the true K (matrix-free in the
+    block path). r + 1 steps remove a rank-r discrepancy exactly; callers
+    pass ``n_steps = r + 2`` for float headroom."""
 
-        def matvec(v):
-            return K @ v
-
+    def apply_cg(factors, rhs, matvec):
         x = apply(factors, rhs)
         r = rhs - matvec(x)
         z = apply(factors, r)
@@ -271,6 +264,46 @@ def make_structured_factor(layout: StructuredLayout):
 
         x, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (x, r, p, rz))
         return x
+
+    return apply_cg
+
+
+def make_structured_factor(layout: StructuredLayout):
+    """Dense-K entry point: gather the block-arrow pattern out of a dense
+    condensed matrix and factor it with :func:`make_block_arrow_core`.
+    Retained for ``kkt_solver="structured"`` (oracle/debug path); the
+    production block path assembles the blocks directly and never forms
+    ``K``."""
+    interior = jnp.asarray(layout.interior)  # (nb, ni)
+    reduced = jnp.asarray(layout.reduced)  # (nr,)
+    n = int(layout.interior.size + layout.reduced.size)
+    core_factor, core_apply = make_block_arrow_core(
+        layout.interior, layout.reduced, n
+    )
+
+    def factor(K):
+        K_ii = K[interior[:, :, None], interior[:, None, :]]  # (nb, ni, ni)
+        K_ir = K[interior[:, :, None], reduced[None, None, :]]  # (nb, ni, nr)
+        K_rr = K[reduced[:, None], reduced[None, :]]  # (nr, nr)
+        factors, p_min, p_max = core_factor(K_ii, K_ir, K_rr)
+        return factors + (K,), p_min, p_max
+
+    def apply(factors, rhs):
+        """One pattern solve (exact when krylov_rank == 0)."""
+        return core_apply(factors[:-1], rhs)
+
+    if layout.krylov_rank == 0:
+        return factor, apply
+
+    # pattern-preconditioned conjugate gradients: the full K differs from
+    # its block-arrow pattern by a rank-r term, and CG with the pattern
+    # factorization as preconditioner removes a rank-r discrepancy in
+    # r + 1 steps (we run r + 2 for float headroom)
+    apply_cg = make_pcg_apply(apply, int(layout.krylov_rank) + 2)
+
+    def apply_pcg(factors, rhs):
+        K = factors[-1]
+        return apply_cg(factors, rhs, lambda v: K @ v)
 
     return factor, apply_pcg
 

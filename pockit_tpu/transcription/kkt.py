@@ -1,0 +1,507 @@
+"""Block-arrow KKT assembly from interval-local AD — the production path.
+
+The condensed interior-point matrix of a collocation NLP,
+
+    K = W + diag(sigma_z) + delta_w I + J^T D J,
+
+is block-arrow by construction (``solver/structured.py``): interval
+interiors are mutually disjoint, and only borders / times / statics (the
+"reduced" columns) couple globally. The dense pipeline nevertheless
+materializes W as an (L, L) matrix and J as (m, L) every iteration — the
+round-1 XLA cost analysis showed the batched solver HBM-bound on exactly
+those temporaries (BENCH_NOTES.md).
+
+This module assembles K **directly in its block-arrow factors' native
+storage** — ``K_ii (nb, ni, ni)``, ``K_ir (nb, ni, nr)``, ``K_rr (nr,
+nr)`` — from per-interval AD:
+
+- every nonlinear row of the NLP (dynamic or path) touches only one
+  interval's points plus ``t_0``/``t_f``/statics, so its Jacobian and
+  multiplier-weighted Hessian are computed as ``n_loc``-sized blocks by
+  ``vmap``-ing AD over intervals (``n_loc ~ n_v (n+1) + 2 + n_s``);
+- the objective's per-interval share ``a_j(s) . I_part`` (exact for
+  objectives linear in the integral symbols, with the pure-statics term
+  ``d2F/ds2(0, s)`` added to the arrow block) rides in the same blocks;
+- row sharing (LGL path rows on shared borders appear in both adjacent
+  interval blocks) is handled by half-weighting the shared rows' D and
+  lambda in each copy — the two copies are identical rows, so the sum
+  restores the exact single-row contribution.
+
+Couplings that do NOT fit the pattern — system-constraint rows and
+objective terms nonlinear in the integrals — are deliberately left out of
+the assembly; the solver removes the resulting low-rank discrepancy with
+pattern-preconditioned CG against a matrix-free ``K @ v`` (HVP + J
+products), so solves remain exact. ``layout.krylov_rank`` bounds the
+discrepancy rank.
+
+Reference analog: the easyderiv sparse index machinery
+(``/root/reference/pockit/base/easyderiv.py:111-459``) composing only
+nonzero derivative entries, and MUMPS' sparse factorization inside IPOPT
+(``/root/reference/pockit/optimizer/ipopt.py:41-53``). Here the sparsity
+is exploited *structurally* (blocks, not index lists) so every step is an
+MXU-shaped batched matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from pockit_tpu.base.bc import BcType
+from pockit_tpu.solver.structured import StructuredLayout, structured_layout
+
+
+class BlockKKT(NamedTuple):
+    """Static layout + assembly closure for the block-arrow KKT path.
+
+    - ``layout``: the :class:`StructuredLayout` (interior / reduced
+      partition and the CG discrepancy rank).
+    - ``interior_pad``: (nb, ni_max) interior columns, padded with ``L``
+      (the phantom column — JAX drops out-of-bounds scatter indices and
+      gathers read from explicitly extended arrays).
+    - ``assemble(z, y, D, rt, fct_o=1.0)``: returns ``(K_ii, K_ir,
+      K_rr)`` of ``W + J^T diag(D) J`` restricted to the block-arrow
+      pattern. ``sigma_z`` and ``delta_w`` diagonals are the solver's to
+      add. Padded interior slots carry 1.0 on the diagonal.
+    """
+
+    layout: StructuredLayout
+    interior_pad: np.ndarray
+    ni_max: int
+    n_blocks: int
+    assemble: Callable
+
+
+def _phase_interval_data(system, pi: int, row0: int):
+    """Host-side static data for one phase's intervals.
+
+    Returns a dict with per-interval local column indices, constraint-row
+    indices + weights, interval operators, and BC substitution tables.
+    """
+    p = system.p[pi]
+    d = p.d
+    off = int(system.l_p[pi])
+    n = int(d.num_point[0])
+    N = d.N
+    lob = d.family == "lobatto"
+    n_x, n_u, n_s = p.n_x, p.n_u, system.n_s
+    pts_x = n if lob else n + 1
+    pts_u = n
+    dyn_rows = (n - 1 if lob else n)  # per state per interval
+    n_loc = n_x * pts_x + n_u * pts_u + 2 + n_s
+
+    # ---- local columns: per state, per control, t_0, t_f, statics ----
+    if lob:
+        lx, rx = d.l_m, d.r_m
+        lu, ru = d.l_m, d.r_m
+    else:
+        lx, rx = d.l_x, d.r_x
+        lu, ru = d.l_u, d.r_u
+    local_cols = np.empty((N, n_loc), dtype=np.int64)
+    for i in range(N):
+        c = []
+        for v in range(n_x):
+            base = off + int(d.l_v[v])
+            c.extend(range(base + int(lx[i]), base + int(rx[i])))
+        for v in range(n_u):
+            base = off + int(d.l_v[n_x + v])
+            c.extend(range(base + int(lu[i]), base + int(ru[i])))
+        c.extend([off + p.L - 2, off + p.L - 1])
+        c.extend(range(int(system.l_s), int(system.r_s)))
+        local_cols[i] = c
+
+    # ---- constraint rows of each interval + sharing weights ----------
+    # global constraint ordering: [system rows | per phase: dynamic rows
+    # (state-major over L_d) then path rows (constraint-major over L_m)]
+    from pockit_tpu.numerics.layout import lr_nc
+
+    l_dr, _ = lr_nc(d.num_point - 1 if lob else d.num_point)
+    L_d, L_m = int(d.L_d), int(d.L_m)
+    rows_i = n_x * dyn_rows + p.n_c * (int(d.r_m[0]) - int(d.l_m[0]))
+    row_idx = np.empty((N, rows_i), dtype=np.int64)
+    row_w = np.ones((N, rows_i))
+    for i in range(N):
+        rr = []
+        for v in range(n_x):
+            r0 = row0 + v * L_d + int(l_dr[i])
+            rr.extend(range(r0, r0 + dyn_rows))
+        pb = row0 + n_x * L_d
+        pts = int(d.r_m[i]) - int(d.l_m[i])
+        for c in range(p.n_c):
+            r0 = pb + c * L_m + int(d.l_m[i])
+            rr.extend(range(r0, r0 + pts))
+            if lob:
+                # shared-border path rows appear in both adjacent blocks:
+                # half-weight each copy so their sum counts the row once
+                k = n_x * dyn_rows + c * pts
+                if i > 0:
+                    row_w[i, k] = 0.5
+                if i < N - 1:
+                    row_w[i, k + pts - 1] = 0.5
+        row_idx[i] = rr
+
+    # ---- per-interval operators --------------------------------------
+    from pockit_tpu.base.discretization import (
+        _integration_block,
+        _translation_block,
+    )
+
+    width = np.diff(d.mesh)
+    T_blk = np.broadcast_to(
+        _translation_block(d.family, n), (N, dyn_rows, pts_u + (0 if lob else 1))
+    ).copy()
+    I_unit = _integration_block(d.family, n)
+    I_blk = I_unit[None, :, :] * (width[:, None, None] / 2)
+    # reference-cell nodes/weights of the interval, scaled into its cell
+    tau = np.empty((N, pts_u))
+    w_blk = np.empty((N, pts_u))
+    for i in range(N):
+        tau[i] = d.t_m[int(d.l_m[i]) : int(d.r_m[i])]
+        # w_m accumulates shared-border weights (LGL): rebuild per-interval
+        w_blk[i] = np.asarray(d.w_itv[i]) * width[i] / 2
+
+    # ---- boundary-condition substitution tables ----------------------
+    # runtime FIXED values arrive via rt["bc"][pi], ordered like
+    # compiled.py's fixed_idx (states bc_0, states bc_f, t_0, t_f)
+    slots = (
+        [(int(d.l_v[v]) + 0, p.info_bc_0[v]) for v in range(n_x)]
+        + [(int(d.r_v[v]) - 1, p.info_bc_f[v]) for v in range(n_x)]
+        + [(p.L - 2, p.info_t_0), (p.L - 1, p.info_t_f)]
+    )
+    fixed_mask = np.zeros((N, n_loc), dtype=bool)
+    fixed_slot = np.zeros((N, n_loc), dtype=np.int64)
+    func_mask = np.zeros((N, n_loc), dtype=bool)
+    func_slot = np.zeros((N, n_loc), dtype=np.int64)
+    func_fns = []
+    n_fixed = 0
+    for idx, info in slots:
+        g_idx = off + idx
+        if info.t == BcType.FIXED:
+            sel = local_cols == g_idx
+            fixed_mask |= sel
+            fixed_slot[sel] = n_fixed
+            n_fixed += 1
+        elif info.t == BcType.FUNC:
+            sel = local_cols == g_idx
+            func_mask |= sel
+            func_slot[sel] = len(func_fns)
+            func_fns.append(info.v)
+
+    return dict(
+        phase=p,
+        pi=pi,
+        lob=lob,
+        n=n,
+        N=N,
+        n_x=n_x,
+        n_u=n_u,
+        n_s=n_s,
+        pts_x=pts_x,
+        pts_u=pts_u,
+        n_loc=n_loc,
+        local_cols=local_cols,
+        row_idx=row_idx,
+        row_w=row_w,
+        T_blk=T_blk,
+        I_blk=I_blk,
+        tau=tau,
+        w_blk=w_blk,
+        fixed_mask=fixed_mask,
+        fixed_slot=fixed_slot,
+        func_mask=func_mask,
+        func_slot=func_slot,
+        func_fns=func_fns,
+    )
+
+
+def _make_interval_fns(system, ph):
+    """Build ``rows(z_loc, bc)`` and ``lag(z_loc, lam, bc, fct_o)`` for one
+    phase's intervals (closures over static operators; vmapped later).
+
+    FIXED values are substituted from the runtime ``bc`` vector and FUNC
+    values are computed from the statics *inside* the local vector so the
+    chain rule through both is visible to interval-local AD.
+    """
+    p = ph["phase"]
+    n_x, n_u, n_s = ph["n_x"], ph["n_u"], ph["n_s"]
+    pts_x, pts_u, n_loc = ph["pts_x"], ph["pts_u"], ph["n_loc"]
+    lob = ph["lob"]
+    func_fns = ph["func_fns"]
+    i_t0 = n_loc - n_s - 2
+    i_tf = n_loc - n_s - 1
+
+    # objective weights dF/dI_j at I = 0 as a function of the statics
+    # (exact for linear-in-I objectives; otherwise the preconditioner's
+    # linearization — the nonlinear remainder is the CG discrepancy)
+    n_I_total = int(sum(q.n_I for q in system.p))
+    l_i = int(system.l_i[ph["pi"]]) if p.n_I else 0
+
+    def a_of_s(s, dtype):
+        if not p.n_I:
+            return jnp.zeros((0,), dtype)
+        def F_at(I_vec):
+            args = [I_vec[j] for j in range(n_I_total)] + [s[k] for k in range(n_s)]
+            return jnp.asarray(system.F_o(args)).reshape(())
+        a_all = jax.grad(F_at)(jnp.zeros((n_I_total,), dtype))
+        return a_all[l_i : l_i + p.n_I]
+
+    def subst(z_loc, fm, fsl, qm, qsl, bc):
+        z_loc = jnp.where(fm, bc[fsl], z_loc)
+        if func_fns:
+            s_loc = z_loc[n_loc - n_s :]
+            vals = jnp.stack([fn(list(s_loc)) for fn in func_fns])
+            z_loc = jnp.where(qm, vals[qsl], z_loc)
+        return z_loc
+
+    def split(z_sub):
+        s = z_sub[n_loc - n_s :] if n_s else jnp.zeros((0,), z_sub.dtype)
+        t0, tf = z_sub[i_t0], z_sub[i_tf]
+        xs, us, offv = [], [], 0
+        for _ in range(n_x):
+            xs.append(z_sub[offv : offv + pts_x])
+            offv += pts_x
+        for _ in range(n_u):
+            us.append(z_sub[offv : offv + pts_u])
+            offv += pts_u
+        return xs, us, t0, tf, s
+
+    def args_of(xs, us, t0, tf, s, tau_i):
+        t_mid = (tau_i - 0.5) * (tf - t0) + (tf + t0) / 2
+        xm = xs if lob else [x[:-1] for x in xs]
+        return xm + us + [t_mid] + [s[k] for k in range(n_s)]
+
+    def rows(z_loc, Tb, Ib, tau_i, fm, fsl, qm, qsl, bc):
+        z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
+        xs, us, t0, tf, s = split(z_sub)
+        args = args_of(xs, us, t0, tf, s, tau_i)
+        dt = tf - t0
+        out = []
+        if n_x:
+            f = jnp.stack([fd(args) for fd in p.F_d])
+            X = jnp.stack(xs)
+            out.append((X @ Tb.T - dt * (f @ Ib.T)).reshape(-1))
+        if p.n_c:
+            out.append(jnp.concatenate([fc(args) for fc in p.F_c]))
+        return (
+            jnp.concatenate(out) if out else jnp.zeros((0,), z_loc.dtype)
+        )
+
+    def lag(z_loc, Tb, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, fct_o):
+        out = rows(z_loc, Tb, Ib, tau_i, fm, fsl, qm, qsl, bc) @ lam_i
+        if p.n_I:
+            z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
+            xs, us, t0, tf, s = split(z_sub)
+            args = args_of(xs, us, t0, tf, s, tau_i)
+            I_part = jnp.stack([fI(args) @ w_i for fI in p.F_I]) * (tf - t0)
+            out = out + fct_o * (a_of_s(s, z_loc.dtype) @ I_part)
+        return out
+
+    return rows, lag
+
+
+def make_block_kkt(system) -> Optional[BlockKKT]:
+    """Build the block-arrow KKT assembler for a configured system.
+
+    Returns ``None`` when the problem has non-uniform interval degrees
+    within a phase (block shapes would differ; callers fall back to the
+    dense path, mirroring :func:`structured_layout`).
+    """
+    layout = structured_layout(system)
+    if layout is None:
+        return None
+    for p in system.p:
+        if len(set(int(n) for n in p.d.num_point)) != 1:
+            return None
+
+    L = int(system.L)
+    n_s = system.n_s
+    n_sys_rows = len(system.F_c)
+    reduced = layout.reduced
+    nr = len(reduced)
+    red_of = {int(c): k for k, c in enumerate(reduced)}
+
+    phases = []
+    row0 = n_sys_rows
+    for pi, p in enumerate(system.p):
+        ph = _phase_interval_data(system, pi, row0)
+        phases.append(ph)
+        row0 += p.n_x * int(p.d.L_d) + p.n_c * int(p.d.L_m)
+
+    # map each phase's local columns onto (interior-of-own-block | reduced)
+    b0 = 0
+    for ph in phases:
+        N, n_loc = ph["N"], ph["n_loc"]
+        ni = layout.interior.shape[1]  # uniform across blocks by layout
+        int_sel = np.empty((N, ni), dtype=np.int64)
+        red_sel_list = []
+        red_pos_list = []
+        for i in range(N):
+            loc_of = {int(c): j for j, c in enumerate(ph["local_cols"][i])}
+            int_sel[i] = [loc_of[int(c)] for c in layout.interior[b0 + i]]
+            rs, rp = [], []
+            for j, c in enumerate(ph["local_cols"][i]):
+                if int(c) in red_of and j not in set(int_sel[i]):
+                    rs.append(j)
+                    rp.append(red_of[int(c)])
+            red_sel_list.append(rs)
+            red_pos_list.append(rp)
+        n_red_loc = len(red_sel_list[0])
+        assert all(len(r) == n_red_loc for r in red_sel_list), (
+            "inconsistent reduced-column counts across intervals"
+        )
+        assert ni + n_red_loc == n_loc, (ni, n_red_loc, n_loc)
+        ph["int_sel"] = int_sel
+        ph["red_sel"] = np.asarray(red_sel_list, dtype=np.int64)
+        ph["red_pos"] = np.asarray(red_pos_list, dtype=np.int64)
+        ph["b0"] = b0
+        b0 += N
+    n_blocks = b0
+    ni_max = layout.interior.shape[1]
+
+    # statics' positions inside the reduced block (for the pure-statics
+    # objective Hessian d2F/ds2(0, s))
+    if n_s:
+        s_red_pos = np.array(
+            [red_of[int(c)] for c in range(int(system.l_s), int(system.r_s))],
+            dtype=np.int64,
+        )
+    else:
+        s_red_pos = np.zeros((0,), dtype=np.int64)
+    n_I_total = int(sum(p.n_I for p in system.p))
+    F_o = system.F_o
+
+    def hss_of_s(s, fct_o, dtype):
+        """fct_o * d2/ds2 F(I=0, s) — the objective share outside every
+        interval block."""
+        if not n_s:
+            return jnp.zeros((0, 0), dtype)
+
+        def g(s_vec):
+            args = [jnp.zeros((), dtype)] * n_I_total + [
+                s_vec[k] for k in range(n_s)
+            ]
+            return jnp.asarray(F_o(args)).reshape(())
+
+        return fct_o * jax.hessian(g)(s)
+
+    # per-phase traced closures
+    fns = [_make_interval_fns(system, ph) for ph in phases]
+
+    # device constants
+    consts = []
+    for ph in phases:
+        consts.append(
+            dict(
+                local_cols=jnp.asarray(ph["local_cols"]),
+                row_idx=jnp.asarray(ph["row_idx"]),
+                row_w=jnp.asarray(ph["row_w"]),
+                T=jnp.asarray(ph["T_blk"]),
+                I=jnp.asarray(ph["I_blk"]),
+                tau=jnp.asarray(ph["tau"]),
+                w=jnp.asarray(ph["w_blk"]),
+                fm=jnp.asarray(ph["fixed_mask"]),
+                fsl=jnp.asarray(ph["fixed_slot"]),
+                qm=jnp.asarray(ph["func_mask"]),
+                qsl=jnp.asarray(ph["func_slot"]),
+                int_sel=jnp.asarray(ph["int_sel"]),
+                red_sel=jnp.asarray(ph["red_sel"]),
+                red_pos=jnp.asarray(ph["red_pos"]),
+            )
+        )
+
+    interior_pad = np.asarray(layout.interior, dtype=np.int64)
+
+    def assemble(z, y, D, rt, fct_o=1.0):
+        """(K_ii, K_ir, K_rr) of ``W + J^T diag(D) J`` on the pattern."""
+        dtype = z.dtype
+        fct_o = jnp.asarray(fct_o, dtype)
+        K_ii_parts, K_ir_parts = [], []
+        K_rr = jnp.zeros((nr, nr), dtype)
+        for ph, fn, cst in zip(phases, fns, consts):
+            rows_fn, lag_fn = fn
+            N = ph["N"]
+            z_loc = z[cst["local_cols"]]
+            bc = jnp.asarray(rt["bc"][ph["pi"]], dtype)
+            lam_b = y[cst["row_idx"]] * cst["row_w"]
+            D_b = D[cst["row_idx"]] * cst["row_w"]
+
+            def hess_one(zl, Tb, Ib, ta, wi, fm, fsl, qm, qsl, li):
+                f = lambda v: lag_fn(
+                    v, Tb, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, fct_o
+                )
+                return jax.jacfwd(jax.grad(f))(zl)
+
+            def jac_one(zl, Tb, Ib, ta, fm, fsl, qm, qsl):
+                f = lambda v: rows_fn(v, Tb, Ib, ta, fm, fsl, qm, qsl, bc)
+                return jax.jacrev(f)(zl)
+
+            W_blk = jax.vmap(hess_one)(
+                z_loc,
+                cst["T"],
+                cst["I"],
+                cst["tau"],
+                cst["w"],
+                cst["fm"],
+                cst["fsl"],
+                cst["qm"],
+                cst["qsl"],
+                lam_b,
+            )
+            J_blk = jax.vmap(jac_one)(
+                z_loc,
+                cst["T"],
+                cst["I"],
+                cst["tau"],
+                cst["fm"],
+                cst["fsl"],
+                cst["qm"],
+                cst["qsl"],
+            )
+            M = W_blk + jnp.einsum(
+                "bri,br,brj->bij", J_blk, D_b, J_blk
+            )
+
+            isel, rsel, rpos = cst["int_sel"], cst["red_sel"], cst["red_pos"]
+            bidx = jnp.arange(N)[:, None, None]
+            K_ii_p = M[bidx, isel[:, :, None], isel[:, None, :]]
+            M_ir = M[bidx, isel[:, :, None], rsel[:, None, :]]
+            M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
+
+            ni_p = isel.shape[1]
+            K_ir_p = jnp.zeros((N, ni_p, nr), dtype).at[
+                bidx, jnp.arange(ni_p)[None, :, None], rpos[:, None, :]
+            ].add(M_ir)
+            K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
+
+            if ni_p < ni_max:  # pad across phases; identity on padded diag
+                pad = ni_max - ni_p
+                K_ii_p = jnp.pad(K_ii_p, ((0, 0), (0, pad), (0, pad)))
+                K_ii_p = K_ii_p + jnp.diag(
+                    jnp.concatenate(
+                        [jnp.zeros((ni_p,), dtype), jnp.ones((pad,), dtype)]
+                    )
+                )
+                K_ir_p = jnp.pad(K_ir_p, ((0, 0), (0, pad), (0, 0)))
+            K_ii_parts.append(K_ii_p)
+            K_ir_parts.append(K_ir_p)
+
+        K_ii = jnp.concatenate(K_ii_parts, axis=0)
+        K_ir = jnp.concatenate(K_ir_parts, axis=0)
+        if n_s:
+            s = z[int(system.l_s) : int(system.r_s)]
+            K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
+                hss_of_s(s, fct_o, dtype)
+            )
+        return K_ii, K_ir, K_rr
+
+    return BlockKKT(
+        layout=layout,
+        interior_pad=interior_pad,
+        ni_max=ni_max,
+        n_blocks=n_blocks,
+        assemble=assemble,
+    )

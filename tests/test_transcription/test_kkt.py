@@ -1,0 +1,172 @@
+"""Oracle tests: block-arrow KKT assembly vs whole-vector dense AD.
+
+For every problem here, ``K = W(lam, fct_o) + J^T diag(D) J`` is computed
+two ways — dense (``compiled.hessian`` + ``compiled.jacobian``) and via
+``make_block_kkt.assemble`` — and the block-arrow storage must gather to
+identical values. System rows are excluded from the blocked assembly by
+design (they are the CG discrepancy), so the dense oracle masks them.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pockit_tpu.lobatto as lobatto
+import pockit_tpu.radau as radau
+from pockit_tpu.solver.structured import pattern_violation
+from pockit_tpu.transcription.kkt import make_block_kkt
+
+
+def _lqr():
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(4, 6)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    return system
+
+
+def _radau_messy():
+    import sympy as sp
+
+    system = radau.System(["p"])
+    (p_,) = system.s
+    phase = system.new_phase(["x", "v"], ["u"])
+    x, v = phase.x
+    (u,) = phase.u
+    t = phase.t
+    phase.set_dynamics([v, sp.sin(u) + p_ * x + 0.1 * t])
+    phase.set_integral([x**2 + u**2, sp.cos(v)])
+    phase.set_phase_constraint([u + x * v], [-2.0], [2.0])
+    phase.set_boundary_condition([0.0, p_], [1.0, None], 0.0, None)
+    phase.set_discretization(3, 5)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + 0.3 * p_ * phase.I[1] + p_**4)
+    return system
+
+
+def _two_phase():
+    system = lobatto.System(["s0"])
+    (s0,) = system.s
+    phases = []
+    for k in range(2):
+        ph = system.new_phase(["x"], ["u"])
+        (x,) = ph.x
+        (u,) = ph.u
+        ph.set_dynamics([-0.5 * x + (k + 1) * u])
+        ph.set_integral([x**2 + u**2])
+        ph.set_boundary_condition(
+            [1.0 if k == 0 else s0], [s0 if k == 0 else None], float(k), float(k + 1)
+        )
+        ph.set_discretization(3, 5)
+        phases.append(ph)
+    system.set_phase(phases)
+    system.set_objective(phases[0].I[0] + phases[1].I[0])
+    return system
+
+
+def _with_system_rows():
+    system = radau.System(["a", "b"])
+    a, b = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([a * x + u])
+    phase.set_integral([x**2 + u**2])
+    phase.set_boundary_condition([1.0], [b], 0.0, 1.0)
+    phase.set_discretization(3, 5)
+    system.set_phase([phase])
+    system.set_system_constraint([a + b**2], [0.0], [1.5])
+    system.set_objective(phase.I[0] + a**2 + b**2)
+    return system
+
+
+def _dense_pattern_oracle(system, z, lam, D, fct_o, rt=None):
+    """Dense K with system rows masked out, gathered at pattern positions."""
+    compiled = system.compiled
+    n_sys = compiled.n_sys_rows
+    mask = np.ones(compiled.m)
+    mask[:n_sys] = 0.0
+    W = np.asarray(compiled.hessian(z, lam * mask, fct_o))
+    J = np.asarray(compiled.jacobian(z))
+    K = W + (J.T * (D * mask)) @ J
+    return K
+
+
+@pytest.mark.parametrize(
+    "builder", [_lqr, _radau_messy, _two_phase, _with_system_rows],
+    ids=["lqr", "radau-messy", "two-phase", "system-rows"],
+)
+def test_block_assembly_matches_dense(builder):
+    system = builder()
+    ops = make_block_kkt(system)
+    assert ops is not None
+    layout = ops.layout
+    compiled = system.compiled
+    rng = np.random.default_rng(7)
+    z = rng.normal(0.6, 0.4, compiled.L)
+    lam = rng.normal(0, 1, compiled.m)
+    D = rng.uniform(0.5, 2.0, compiled.m)
+    fct_o = 1.3
+    rt = compiled.default_runtime()
+
+    K = _dense_pattern_oracle(system, z, lam, D, fct_o)
+
+    K_ii, K_ir, K_rr = jax.jit(
+        lambda z_, y_, D_: ops.assemble(z_, y_, D_, rt, fct_o)
+    )(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D))
+    K_ii, K_ir, K_rr = map(np.asarray, (K_ii, K_ir, K_rr))
+
+    interior, reduced = layout.interior, layout.reduced
+    for b in range(interior.shape[0]):
+        np.testing.assert_allclose(
+            K_ii[b], K[np.ix_(interior[b], interior[b])], atol=1e-9,
+            err_msg=f"K_ii block {b}",
+        )
+        np.testing.assert_allclose(
+            K_ir[b], K[np.ix_(interior[b], reduced)], atol=1e-9,
+            err_msg=f"K_ir block {b}",
+        )
+    np.testing.assert_allclose(
+        K_rr, K[np.ix_(reduced, reduced)], atol=1e-9, err_msg="K_rr"
+    )
+
+    if layout.krylov_rank == 0:
+        # the pattern must then be exact: no dense K entries outside it
+        assert float(pattern_violation(jnp.asarray(K), layout)) < 1e-9
+
+
+def test_runtime_bc_values_flow_into_blocks():
+    """FIXED boundary values arrive via rt at runtime (batched sweeps);
+    the assembled blocks must follow them, not the configured constants."""
+    system = _lqr()
+    ops = make_block_kkt(system)
+    compiled = system.compiled
+    rng = np.random.default_rng(3)
+    z = rng.normal(0.5, 0.3, compiled.L)
+    lam = rng.normal(0, 1, compiled.m)
+    D = rng.uniform(0.5, 2.0, compiled.m)
+
+    rt2 = {"bc": tuple(np.asarray(v) * 0 + 1.7 for v in compiled.default_runtime()["bc"])}
+    # dense oracle with the same overridden bc
+    W = np.asarray(compiled._jitted("hessian")(jnp.asarray(z), jnp.asarray(lam), 1.0, rt2))
+    J = np.asarray(compiled._jitted("jacobian")(jnp.asarray(z), rt2))
+    K = W + (J.T * D) @ J
+
+    K_ii, K_ir, K_rr = ops.assemble(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D), rt2)
+    interior, reduced = ops.layout.interior, ops.layout.reduced
+    np.testing.assert_allclose(
+        np.asarray(K_rr), K[np.ix_(reduced, reduced)], atol=1e-9
+    )
+    for b in range(interior.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(K_ii)[b], K[np.ix_(interior[b], interior[b])], atol=1e-9
+        )

@@ -468,6 +468,35 @@ class PhaseBase:
             mesh_length_min,
         ):
             return
+        mesh_new, num_point_new = self.plan_refine_continuous(
+            variable,
+            static_parameter,
+            absolute_tolerance_continuous,
+            relative_tolerance_continuous,
+            num_point_min,
+            num_point_max,
+            mesh_length_min,
+            mesh_length_max,
+        )
+        passed = self._discontinuous_check_passed
+        self.set_discretization(mesh_new, list(num_point_new))
+        self._discontinuous_check_passed = passed
+
+    def plan_refine_continuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        absolute_tolerance_continuous: float = 1e-8,
+        relative_tolerance_continuous: float = 1e-8,
+        num_point_min: int = 6,
+        num_point_max: int = 12,
+        mesh_length_min: float = 1e-3,
+        mesh_length_max: float = 1.0,
+    ):
+        """Pure planning step of :meth:`refine_continuous`: returns the
+        ``(mesh_new, num_point_new)`` the refinement would apply, without
+        mutating the phase — the building block for batched sweeps where
+        per-instance decisions must not touch shared state."""
         s = self._require_static(static_parameter)
         T_x, I_f = self._error_estimation_data_continuous(variable.data, s)
         ec = self._error_check_interval_continuous(
@@ -512,10 +541,7 @@ class PhaseBase:
                 degrees.append(np.full(pieces, num_point_min))
         mesh_new = np.append(np.concatenate(borders), 1.0)
         num_point_new = np.concatenate(degrees).astype(int)
-
-        passed = self._discontinuous_check_passed
-        self.set_discretization(mesh_new, list(num_point_new))
-        self._discontinuous_check_passed = passed
+        return mesh_new, num_point_new
 
     def refine_discontinuous(
         self,
@@ -533,11 +559,34 @@ class PhaseBase:
             variable, static_parameter, tolerance_discontinuous, mesh_length_min
         ):
             return
+        mesh_new, num_point_new = self.plan_refine_discontinuous(
+            variable,
+            static_parameter,
+            tolerance_discontinuous,
+            num_point_min,
+            num_point_max,
+            mesh_length_min,
+            mesh_length_max,
+        )
+        self.set_discretization(mesh_new, num_point_new)
+
+    def plan_refine_discontinuous(
+        self,
+        variable,
+        static_parameter: Optional[Iterable[float]] = None,
+        tolerance_discontinuous: float = 1e-3,
+        num_point_min: int = 6,
+        num_point_max: int = 12,
+        mesh_length_min: float = 1e-3,
+        mesh_length_max: float = 1.0,
+    ):
+        """Pure planning step of :meth:`refine_discontinuous` (no phase
+        mutation)."""
         from pockit_tpu.base.refine_discontinuous import refine_discontinuous_mesh
 
         s = self._require_static(static_parameter)
         f_bb = self._error_estimation_data_discontinuous(variable.data, s)
-        mesh_new, num_point_new = refine_discontinuous_mesh(
+        return refine_discontinuous_mesh(
             self,
             f_bb,
             tolerance_discontinuous,
@@ -546,7 +595,6 @@ class PhaseBase:
             mesh_length_min,
             mesh_length_max,
         )
-        self.set_discretization(mesh_new, num_point_new)
 
     def refine(
         self,

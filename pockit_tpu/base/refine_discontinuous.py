@@ -156,8 +156,15 @@ def refine_discontinuous_mesh(
 
     def _nudge_left(m_, r_s, mesh_l, mesh_d):
         if m_ not in to_delete:
-            mesh_new.append(mesh_l + r_s * mesh_d)
             to_delete.add(m_)
+            # a border whose two sides sit at the SAME bang level
+            # (no_shock) hides no switch: the unsaturation that requested
+            # this nudge is smoothing from a switch elsewhere, and the
+            # border is a stale sliver artifact — merge it away instead of
+            # appending a nudged clone that would keep the sliver alive
+            # across refinement rounds
+            if m_ not in no_shock:
+                mesh_new.append(mesh_l + r_s * mesh_d)
         else:
             idx_r = m_ + 1
             while idx_r in no_shock:
@@ -168,8 +175,9 @@ def refine_discontinuous_mesh(
 
     def _nudge_right(m_, r_s, mesh_r, mesh_d):
         if m_ + 1 not in to_delete:
-            mesh_new.append(mesh_r - r_s * mesh_d)
             to_delete.add(m_ + 1)
+            if m_ + 1 not in no_shock:  # see _nudge_left
+                mesh_new.append(mesh_r - r_s * mesh_d)
         else:
             idx_l = m_
             while idx_l in no_shock:

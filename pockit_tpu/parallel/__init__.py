@@ -9,10 +9,13 @@ boundary-condition / homotopy instances), sharded over the mesh with
 from pockit_tpu.parallel.sharding import make_sharded_batch_solver
 from pockit_tpu.parallel.distributed import initialize_distributed, instance_mesh
 from pockit_tpu.parallel.homotopy import homotopy_sweep
+from pockit_tpu.parallel.refine_batch import solve_refine_batch, SweepResult
 
 __all__ = [
     "make_sharded_batch_solver",
     "initialize_distributed",
     "instance_mesh",
     "homotopy_sweep",
+    "solve_refine_batch",
+    "SweepResult",
 ]

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
+from pockit_tpu.parallel._compat import shard_map
 from pockit_tpu.solver import Bounds, IPOptions, make_ip_solver
 
 
@@ -44,12 +44,18 @@ def make_sharded_batch_solver(
 
     if options is None:
         options = default_options()
+    block = None
+    if options.kkt_solver in ("auto", "block"):
+        from pockit_tpu.transcription.kkt import make_block_kkt
+
+        block = make_block_kkt(compiled.system)
     solve_fn = make_ip_solver(
         compiled.objective_fn,
         compiled.constraints_fn,
         compiled.L,
         compiled.m,
         options,
+        block=block,
     )
     axes = tuple(mesh.axis_names)
     spec = P(axes)  # shard the leading (batch) dim over all mesh axes

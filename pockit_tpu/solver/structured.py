@@ -174,8 +174,12 @@ def make_block_arrow_core(interior, reduced, n: int):
       state and one factorization serves the Newton step, its iterative
       refinement, second-order corrections, and the feasibility fallback.
     """
-    interior = jnp.asarray(interior)  # (nb, ni), possibly padded with n
-    reduced = jnp.asarray(reduced)  # (nr,)
+    # numpy (not jnp.asarray): this factory may be invoked inside an active
+    # trace (the Pallas path builds its per-lane fallback at trace time),
+    # where jnp.asarray returns a tracer that would leak into inner jaxprs
+    # as an unloweable constant. numpy indices embed as real literals.
+    interior = np.asarray(interior)  # (nb, ni), possibly padded with n
+    reduced = np.asarray(reduced)  # (nr,)
 
     def _blk_solve(L_i, sc_i, B):
         Bs = B * sc_i[:, :, None]

@@ -1,4 +1,4 @@
-"""Block-arrow KKT assembly from interval-local AD — the production path.
+"""Block-arrow KKT assembly from pointwise AD — the production path.
 
 The condensed interior-point matrix of a collocation NLP,
 
@@ -13,19 +13,28 @@ those temporaries (BENCH_NOTES.md).
 
 This module assembles K **directly in its block-arrow factors' native
 storage** — ``K_ii (nb, ni, ni)``, ``K_ir (nb, ni, nr)``, ``K_rr (nr,
-nr)`` — from per-interval AD:
+nr)`` — and computes the per-interval derivative blocks from **pointwise
+AD**: every nonlinear function of the transcription (dynamics, path
+constraints, integrands) is evaluated per collocation point on a handful
+of arguments ``(x_q, u_q, t_0, t_f, s)``, so
 
-- every nonlinear row of the NLP (dynamic or path) touches only one
-  interval's points plus ``t_0``/``t_f``/statics, so its Jacobian and
-  multiplier-weighted Hessian are computed as ``n_loc``-sized blocks by
-  ``vmap``-ing AD over intervals (``n_loc ~ n_v (n+1) + 2 + n_s``);
-- the objective's per-interval share ``a_j(s) . I_part`` (exact for
-  objectives linear in the integral symbols, with the pure-statics term
-  ``d2F/ds2(0, s)`` added to the arrow block) rides in the same blocks;
-- row sharing (LGL path rows on shared borders appear in both adjacent
-  interval blocks) is handled by half-weighting the shared rows' D and
-  lambda in each copy — the two copies are identical rows, so the sum
-  restores the exact single-row contribution.
+- the interval Lagrangian decomposes as ``linear(X) + sum_q phi_q`` with
+  ``phi_q`` scalar on ``n_pt = n_x + n_u + 2 + n_s`` arguments; its
+  Hessian is a static scatter of pointwise ``(n_pt, n_pt)`` Hessians —
+  ``n_pt`` forward-over-reverse tangents of a tiny function instead of
+  ``n_loc ~ n_v (n+1)`` tangents through the whole interval pipeline;
+- the interval Jacobian is the static translation block plus an
+  integration-operator einsum over pointwise ``(n_f, n_pt)`` Jacobians —
+  MXU-shaped matmuls, no wide AD;
+- FIXED / FUNC boundary substitutions become an explicit chain-rule
+  column transform: FIXED columns are zeroed, FUNC columns redirect into
+  the statics with ``d fn/ds`` plus the second-order ``g_j d2fn/ds2``
+  term (index folding, done once per interval).
+
+Row sharing (LGL path rows on shared borders appear in both adjacent
+interval blocks) is handled by half-weighting the shared rows' D and
+lambda in each copy — the two copies are identical rows, so the sum
+restores the exact single-row contribution.
 
 Couplings that do NOT fit the pattern — system-constraint rows and
 objective terms nonlinear in the integrals — are deliberately left out of
@@ -38,8 +47,8 @@ Reference analog: the easyderiv sparse index machinery
 (``/root/reference/pockit/base/easyderiv.py:111-459``) composing only
 nonzero derivative entries, and MUMPS' sparse factorization inside IPOPT
 (``/root/reference/pockit/optimizer/ipopt.py:41-53``). Here the sparsity
-is exploited *structurally* (blocks, not index lists) so every step is an
-MXU-shaped batched matmul.
+is exploited *structurally* (pointwise AD + static operator sandwiches)
+so every step is either a tiny-arity AD pass or a batched matmul.
 """
 
 from __future__ import annotations
@@ -56,7 +65,7 @@ from pockit_tpu.solver.structured import StructuredLayout, structured_layout
 
 
 class BlockKKT(NamedTuple):
-    """Static layout + assembly closure for the block-arrow KKT path.
+    """Static layout + assembly closures for the block-arrow KKT path.
 
     - ``layout``: the :class:`StructuredLayout` (interior / reduced
       partition and the CG discrepancy rank).
@@ -65,8 +74,12 @@ class BlockKKT(NamedTuple):
       gathers read from explicitly extended arrays).
     - ``assemble(z, y, D, rt, fct_o=1.0)``: returns ``(K_ii, K_ir,
       K_rr)`` of ``W + J^T diag(D) J`` restricted to the block-arrow
-      pattern. ``sigma_z`` and ``delta_w`` diagonals are the solver's to
-      add. Padded interior slots carry 1.0 on the diagonal.
+      pattern, computed from pointwise AD. ``sigma_z`` and ``delta_w``
+      diagonals are the solver's to add. Padded interior slots carry 1.0
+      on the diagonal.
+    - ``assemble_ad``: same contract, computed by whole-interval
+      ``jacfwd(grad)`` / ``jacrev`` — the slow oracle the pointwise path
+      is tested against.
     """
 
     layout: StructuredLayout
@@ -74,6 +87,7 @@ class BlockKKT(NamedTuple):
     ni_max: int
     n_blocks: int
     assemble: Callable
+    assemble_ad: Callable = None
 
 
 def _phase_interval_data(system, pi: int, row0: int):
@@ -152,7 +166,7 @@ def _phase_interval_data(system, pi: int, row0: int):
 
     width = np.diff(d.mesh)
     T_blk = np.broadcast_to(
-        _translation_block(d.family, n), (N, dyn_rows, pts_u + (0 if lob else 1))
+        _translation_block(d.family, n), (N, dyn_rows, pts_x)
     ).copy()
     I_unit = _integration_block(d.family, n)
     I_blk = I_unit[None, :, :] * (width[:, None, None] / 2)
@@ -202,6 +216,7 @@ def _phase_interval_data(system, pi: int, row0: int):
         n_s=n_s,
         pts_x=pts_x,
         pts_u=pts_u,
+        dyn_rows=dyn_rows,
         n_loc=n_loc,
         local_cols=local_cols,
         row_idx=row_idx,
@@ -218,9 +233,49 @@ def _phase_interval_data(system, pi: int, row0: int):
     )
 
 
+def _make_subst(n_loc, n_s, func_fns):
+    """Runtime substitution of FIXED (from the bc vector) and FUNC (from
+    the statics) boundary entries into the local vector."""
+
+    def subst(z_loc, fm, fsl, qm, qsl, bc):
+        z_loc = jnp.where(fm, bc[fsl], z_loc)
+        if func_fns:
+            s_loc = z_loc[n_loc - n_s :]
+            vals = jnp.stack([fn(list(s_loc)) for fn in func_fns])
+            z_loc = jnp.where(qm, vals[qsl], z_loc)
+        return z_loc
+
+    return subst
+
+
+def _make_a_of_s(system, ph):
+    """Objective weights dF/dI_j at I = 0 as a function of the statics
+    (exact for linear-in-I objectives; otherwise the preconditioner's
+    linearization — the nonlinear remainder is the CG discrepancy)."""
+    p = ph["phase"]
+    n_s = ph["n_s"]
+    n_I_total = int(sum(q.n_I for q in system.p))
+    l_i = int(system.l_i[ph["pi"]]) if p.n_I else 0
+
+    def a_of_s(s, dtype):
+        if not p.n_I:
+            return jnp.zeros((0,), dtype)
+
+        def F_at(I_vec):
+            args = [I_vec[j] for j in range(n_I_total)] + [
+                s[k] for k in range(n_s)
+            ]
+            return jnp.asarray(system.F_o(args)).reshape(())
+
+        a_all = jax.grad(F_at)(jnp.zeros((n_I_total,), dtype))
+        return a_all[l_i : l_i + p.n_I]
+
+    return a_of_s
+
+
 def _make_interval_fns(system, ph):
-    """Build ``rows(z_loc, bc)`` and ``lag(z_loc, lam, bc, fct_o)`` for one
-    phase's intervals (closures over static operators; vmapped later).
+    """Whole-interval ``rows(z_loc, bc)`` and ``lag(z_loc, lam, bc,
+    fct_o)`` closures — the AD-oracle path (vmapped later).
 
     FIXED values are substituted from the runtime ``bc`` vector and FUNC
     values are computed from the statics *inside* the local vector so the
@@ -230,32 +285,11 @@ def _make_interval_fns(system, ph):
     n_x, n_u, n_s = ph["n_x"], ph["n_u"], ph["n_s"]
     pts_x, pts_u, n_loc = ph["pts_x"], ph["pts_u"], ph["n_loc"]
     lob = ph["lob"]
-    func_fns = ph["func_fns"]
     i_t0 = n_loc - n_s - 2
     i_tf = n_loc - n_s - 1
 
-    # objective weights dF/dI_j at I = 0 as a function of the statics
-    # (exact for linear-in-I objectives; otherwise the preconditioner's
-    # linearization — the nonlinear remainder is the CG discrepancy)
-    n_I_total = int(sum(q.n_I for q in system.p))
-    l_i = int(system.l_i[ph["pi"]]) if p.n_I else 0
-
-    def a_of_s(s, dtype):
-        if not p.n_I:
-            return jnp.zeros((0,), dtype)
-        def F_at(I_vec):
-            args = [I_vec[j] for j in range(n_I_total)] + [s[k] for k in range(n_s)]
-            return jnp.asarray(system.F_o(args)).reshape(())
-        a_all = jax.grad(F_at)(jnp.zeros((n_I_total,), dtype))
-        return a_all[l_i : l_i + p.n_I]
-
-    def subst(z_loc, fm, fsl, qm, qsl, bc):
-        z_loc = jnp.where(fm, bc[fsl], z_loc)
-        if func_fns:
-            s_loc = z_loc[n_loc - n_s :]
-            vals = jnp.stack([fn(list(s_loc)) for fn in func_fns])
-            z_loc = jnp.where(qm, vals[qsl], z_loc)
-        return z_loc
+    a_of_s = _make_a_of_s(system, ph)
+    subst = _make_subst(n_loc, n_s, ph["func_fns"])
 
     def split(z_sub):
         s = z_sub[n_loc - n_s :] if n_s else jnp.zeros((0,), z_sub.dtype)
@@ -301,6 +335,180 @@ def _make_interval_fns(system, ph):
         return out
 
     return rows, lag
+
+
+def _make_pointwise_m(system, ph):
+    """Per-interval M = W + J^T diag(D) J from pointwise AD.
+
+    Returns ``interval_M(z_loc, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc,
+    lam_i, D_i, fct_o) -> (n_loc, n_loc)`` built so that every AD pass
+    runs on per-collocation-point functions of ``n_pt = n_x + n_u + 2 +
+    n_s`` arguments; the interval structure enters through static
+    operators (translation block, integration-block einsum, index
+    scatters) only.
+    """
+    p = ph["phase"]
+    n_x, n_u, n_s = ph["n_x"], ph["n_u"], ph["n_s"]
+    pts_x, pts_u, n_loc = ph["pts_x"], ph["pts_u"], ph["n_loc"]
+    dyn_rows = ph["dyn_rows"]
+    n_c, n_I = p.n_c, p.n_I
+    func_fns = ph["func_fns"]
+    i_t0 = n_loc - n_s - 2
+    i_tf = n_loc - n_s - 1
+    s0c = n_loc - n_s
+    n_pt = n_x + n_u + 2 + n_s
+    n_f = n_x + n_c
+
+    a_of_s = _make_a_of_s(system, ph)
+    subst = _make_subst(n_loc, n_s, func_fns)
+
+    # static point-arg -> local-column map
+    cm = np.empty((pts_u, n_pt), dtype=np.int64)
+    for q in range(pts_u):
+        c = [v * pts_x + q for v in range(n_x)]
+        c += [n_x * pts_x + w * pts_u + q for w in range(n_u)]
+        c += [i_t0, i_tf]
+        c += [s0c + k for k in range(n_s)]
+        cm[q] = c
+    cm = jnp.asarray(cm)
+
+    # static linear Jacobian rows: d(X @ Tb.T)/d z_sub
+    Tb = np.asarray(ph["T_blk"][0])
+    A_lin = np.zeros((n_x * dyn_rows, n_loc))
+    for v in range(n_x):
+        A_lin[v * dyn_rows : (v + 1) * dyn_rows, v * pts_x : (v + 1) * pts_x] = Tb
+
+    if func_fns:
+        fnvs = [
+            (lambda fn: lambda sv: jnp.asarray(
+                fn([sv[k] for k in range(n_s)])
+            ).reshape(()))(fn)
+            for fn in func_fns
+        ]
+
+    def _point_args(pv, tq):
+        xs = [pv[v] for v in range(n_x)]
+        us = [pv[n_x + w] for w in range(n_u)]
+        t0q, tfq = pv[n_x + n_u], pv[n_x + n_u + 1]
+        sq = [pv[n_x + n_u + 2 + k] for k in range(n_s)]
+        t_mid = (tq - 0.5) * (tfq - t0q) + (tfq + t0q) / 2
+        return xs + us + [t_mid] + sq, t0q, tfq
+
+    def interval_M(z_loc, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, D_i, fct_o):
+        dtype = z_loc.dtype
+        z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
+        t0, tf = z_sub[i_t0], z_sub[i_tf]
+        s = z_sub[s0c:] if n_s else jnp.zeros((0,), dtype)
+
+        lam_dyn = lam_i[: n_x * dyn_rows].reshape(n_x, dyn_rows)
+        lam_path = lam_i[n_x * dyn_rows :].reshape(n_c, pts_u)
+        kap = lam_dyn @ Ib  # (n_x, pts_u): per-point dynamic weights
+
+        # packed per-point arguments (pts_u, n_pt)
+        cols = []
+        if n_x:
+            cols.append(z_sub[: n_x * pts_x].reshape(n_x, pts_x)[:, :pts_u].T)
+        if n_u:
+            off_u = n_x * pts_x
+            cols.append(z_sub[off_u : off_u + n_u * pts_u].reshape(n_u, pts_u).T)
+        cols.append(jnp.broadcast_to(t0, (pts_u,))[:, None])
+        cols.append(jnp.broadcast_to(tf, (pts_u,))[:, None])
+        if n_s:
+            cols.append(jnp.broadcast_to(s, (pts_u, n_s)))
+        P = jnp.concatenate(cols, axis=1)
+
+        def phi(pv, kq, lpq, wq, tq):
+            args, t0q, tfq = _point_args(pv, tq)
+            dt = tfq - t0q
+            val = jnp.zeros((), dtype)
+            if n_x:
+                f = jnp.stack([fd(args) for fd in p.F_d])
+                val = val - dt * (kq @ f)
+            if n_c:
+                fc = jnp.stack([fcf(args) for fcf in p.F_c])
+                val = val + lpq @ fc
+            if n_I:
+                sv = pv[n_x + n_u + 2 :]
+                fI = jnp.stack([fi(args) for fi in p.F_I])
+                val = val + fct_o * dt * wq * (a_of_s(sv, dtype) @ fI)
+            return val
+
+        def psi(pv, tq):
+            args, t0q, tfq = _point_args(pv, tq)
+            dt = tfq - t0q
+            outs = []
+            if n_x:
+                outs.append(dt * jnp.stack([fd(args) for fd in p.F_d]))
+            if n_c:
+                outs.append(jnp.stack([fcf(args) for fcf in p.F_c]))
+            return (
+                jnp.concatenate(outs) if outs else jnp.zeros((0,), dtype)
+            )
+
+        Hphi = jax.vmap(jax.jacfwd(jax.grad(phi)))(
+            P, kap.T, lam_path.T, w_i, tau_i
+        )  # (pts_u, n_pt, n_pt)
+        Gpsi = jax.vmap(jax.jacfwd(psi))(P, tau_i)  # (pts_u, n_f, n_pt)
+
+        # scatter pointwise Hessians / Jacobians onto local columns
+        W_sub = (
+            jnp.zeros((n_loc, n_loc), dtype)
+            .at[cm[:, :, None], cm[:, None, :]]
+            .add(Hphi)
+        )
+        G_loc = (
+            jnp.zeros((pts_u, n_f, n_loc), dtype)
+            .at[
+                jnp.arange(pts_u)[:, None, None],
+                jnp.arange(n_f)[None, :, None],
+                cm[:, None, :],
+            ]
+            .add(Gpsi)
+        )
+
+        parts = []
+        if n_x:
+            J_dyn = jnp.asarray(A_lin, dtype) - jnp.einsum(
+                "rq,qvc->vrc", Ib, G_loc[:, :n_x, :]
+            ).reshape(n_x * dyn_rows, n_loc)
+            parts.append(J_dyn)
+        if n_c:
+            parts.append(
+                G_loc[:, n_x:, :].transpose(1, 0, 2).reshape(n_c * pts_u, n_loc)
+            )
+        J_sub = (
+            jnp.concatenate(parts) if parts else jnp.zeros((0, n_loc), dtype)
+        )
+
+        # substitution chain rule: z_sub[j] is a bc constant (FIXED) or
+        # fn(s) (FUNC) — zero those columns; FUNC redirects into statics
+        keep = 1.0 - (fm | qm).astype(dtype)
+        J_t = J_sub * keep[None, :]
+        W_t = W_sub * keep[None, :] * keep[:, None]
+
+        if func_fns:
+            dfn = jnp.stack([jax.grad(fv)(s) for fv in fnvs])  # (n_fn, n_s)
+            hfn = jnp.stack([jax.hessian(fv)(s) for fv in fnvs])
+            Q = qm.astype(dtype)[:, None] * dfn[qsl]  # (n_loc, n_s)
+            WQ = W_sub @ Q
+            W_t = W_t.at[:, s0c:].add(keep[:, None] * WQ)
+            W_t = W_t.at[s0c:, :].add((keep[:, None] * WQ).T)
+            W_t = W_t.at[s0c:, s0c:].add(Q.T @ WQ)
+            # second-order term: d2 z_sub[j] / ds2 weighted by the
+            # Lagrangian gradient at the substituted column
+            gphi = jax.vmap(jax.grad(phi))(P, kap.T, lam_path.T, w_i, tau_i)
+            g_sub = jnp.zeros((n_loc,), dtype).at[cm].add(gphi)
+            if n_x:
+                g_sub = g_sub + lam_dyn.reshape(-1) @ jnp.asarray(A_lin, dtype)
+            coeff = qm.astype(dtype) * g_sub
+            W_t = W_t.at[s0c:, s0c:].add(
+                jnp.einsum("j,jab->ab", coeff, hfn[qsl])
+            )
+            J_t = J_t.at[:, s0c:].add(J_sub @ Q)
+
+        return W_t + jnp.einsum("ri,r,rj->ij", J_t, D_i, J_t)
+
+    return interval_M
 
 
 def make_block_kkt(system) -> Optional[BlockKKT]:
@@ -388,8 +596,10 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
         return fct_o * jax.hessian(g)(s)
 
-    # per-phase traced closures
-    fns = [_make_interval_fns(system, ph) for ph in phases]
+    # per-phase traced closures: pointwise (production) and whole-interval
+    # AD (oracle)
+    fns_pt = [_make_pointwise_m(system, ph) for ph in phases]
+    fns_ad = [_make_interval_fns(system, ph) for ph in phases]
 
     # device constants
     consts = []
@@ -415,93 +625,116 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
     interior_pad = np.asarray(layout.interior, dtype=np.int64)
 
-    def assemble(z, y, D, rt, fct_o=1.0):
-        """(K_ii, K_ir, K_rr) of ``W + J^T diag(D) J`` on the pattern."""
-        dtype = z.dtype
-        fct_o = jnp.asarray(fct_o, dtype)
-        K_ii_parts, K_ir_parts = [], []
-        K_rr = jnp.zeros((nr, nr), dtype)
-        for ph, fn, cst in zip(phases, fns, consts):
-            rows_fn, lag_fn = fn
-            N = ph["N"]
-            z_loc = z[cst["local_cols"]]
-            bc = jnp.asarray(rt["bc"][ph["pi"]], dtype)
-            lam_b = y[cst["row_idx"]] * cst["row_w"]
-            D_b = D[cst["row_idx"]] * cst["row_w"]
+    def _m_pointwise(ph, ifn, cst, z_loc, bc, lam_b, D_b, fct_o):
+        def one(zl, Ib, ta, wi, fm, fsl, qm, qsl, li, di):
+            return ifn(zl, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, di, fct_o)
 
-            def hess_one(zl, Tb, Ib, ta, wi, fm, fsl, qm, qsl, li):
-                f = lambda v: lag_fn(
-                    v, Tb, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, fct_o
-                )
-                return jax.jacfwd(jax.grad(f))(zl)
+        return jax.vmap(one)(
+            z_loc,
+            cst["I"],
+            cst["tau"],
+            cst["w"],
+            cst["fm"],
+            cst["fsl"],
+            cst["qm"],
+            cst["qsl"],
+            lam_b,
+            D_b,
+        )
 
-            def jac_one(zl, Tb, Ib, ta, fm, fsl, qm, qsl):
-                f = lambda v: rows_fn(v, Tb, Ib, ta, fm, fsl, qm, qsl, bc)
-                return jax.jacrev(f)(zl)
+    def _m_ad(ph, fns, cst, z_loc, bc, lam_b, D_b, fct_o):
+        rows_fn, lag_fn = fns
 
-            W_blk = jax.vmap(hess_one)(
-                z_loc,
-                cst["T"],
-                cst["I"],
-                cst["tau"],
-                cst["w"],
-                cst["fm"],
-                cst["fsl"],
-                cst["qm"],
-                cst["qsl"],
-                lam_b,
+        def hess_one(zl, Tb, Ib, ta, wi, fm, fsl, qm, qsl, li):
+            f = lambda v: lag_fn(
+                v, Tb, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, fct_o
             )
-            J_blk = jax.vmap(jac_one)(
-                z_loc,
-                cst["T"],
-                cst["I"],
-                cst["tau"],
-                cst["fm"],
-                cst["fsl"],
-                cst["qm"],
-                cst["qsl"],
-            )
-            M = W_blk + jnp.einsum(
-                "bri,br,brj->bij", J_blk, D_b, J_blk
-            )
+            return jax.jacfwd(jax.grad(f))(zl)
 
-            isel, rsel, rpos = cst["int_sel"], cst["red_sel"], cst["red_pos"]
-            bidx = jnp.arange(N)[:, None, None]
-            K_ii_p = M[bidx, isel[:, :, None], isel[:, None, :]]
-            M_ir = M[bidx, isel[:, :, None], rsel[:, None, :]]
-            M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
+        def jac_one(zl, Tb, Ib, ta, fm, fsl, qm, qsl):
+            f = lambda v: rows_fn(v, Tb, Ib, ta, fm, fsl, qm, qsl, bc)
+            return jax.jacrev(f)(zl)
 
-            ni_p = isel.shape[1]
-            K_ir_p = jnp.zeros((N, ni_p, nr), dtype).at[
-                bidx, jnp.arange(ni_p)[None, :, None], rpos[:, None, :]
-            ].add(M_ir)
-            K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
+        W_blk = jax.vmap(hess_one)(
+            z_loc,
+            cst["T"],
+            cst["I"],
+            cst["tau"],
+            cst["w"],
+            cst["fm"],
+            cst["fsl"],
+            cst["qm"],
+            cst["qsl"],
+            lam_b,
+        )
+        J_blk = jax.vmap(jac_one)(
+            z_loc,
+            cst["T"],
+            cst["I"],
+            cst["tau"],
+            cst["fm"],
+            cst["fsl"],
+            cst["qm"],
+            cst["qsl"],
+        )
+        return W_blk + jnp.einsum("bri,br,brj->bij", J_blk, D_b, J_blk)
 
-            if ni_p < ni_max:  # pad across phases; identity on padded diag
-                pad = ni_max - ni_p
-                K_ii_p = jnp.pad(K_ii_p, ((0, 0), (0, pad), (0, pad)))
-                K_ii_p = K_ii_p + jnp.diag(
-                    jnp.concatenate(
-                        [jnp.zeros((ni_p,), dtype), jnp.ones((pad,), dtype)]
+    def _mk_assemble(m_builder, per_phase):
+        def assemble(z, y, D, rt, fct_o=1.0):
+            """(K_ii, K_ir, K_rr) of ``W + J^T diag(D) J`` on the pattern."""
+            dtype = z.dtype
+            fct_o = jnp.asarray(fct_o, dtype)
+            K_ii_parts, K_ir_parts = [], []
+            K_rr = jnp.zeros((nr, nr), dtype)
+            for ph, fns, cst in zip(phases, per_phase, consts):
+                N = ph["N"]
+                z_loc = z[cst["local_cols"]]
+                bc = jnp.asarray(rt["bc"][ph["pi"]], dtype)
+                lam_b = y[cst["row_idx"]] * cst["row_w"]
+                D_b = D[cst["row_idx"]] * cst["row_w"]
+
+                M = m_builder(ph, fns, cst, z_loc, bc, lam_b, D_b, fct_o)
+
+                isel, rsel, rpos = cst["int_sel"], cst["red_sel"], cst["red_pos"]
+                bidx = jnp.arange(N)[:, None, None]
+                K_ii_p = M[bidx, isel[:, :, None], isel[:, None, :]]
+                M_ir = M[bidx, isel[:, :, None], rsel[:, None, :]]
+                M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
+
+                ni_p = isel.shape[1]
+                K_ir_p = jnp.zeros((N, ni_p, nr), dtype).at[
+                    bidx, jnp.arange(ni_p)[None, :, None], rpos[:, None, :]
+                ].add(M_ir)
+                K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
+
+                if ni_p < ni_max:  # pad across phases; identity on padded diag
+                    pad = ni_max - ni_p
+                    K_ii_p = jnp.pad(K_ii_p, ((0, 0), (0, pad), (0, pad)))
+                    K_ii_p = K_ii_p + jnp.diag(
+                        jnp.concatenate(
+                            [jnp.zeros((ni_p,), dtype), jnp.ones((pad,), dtype)]
+                        )
                     )
-                )
-                K_ir_p = jnp.pad(K_ir_p, ((0, 0), (0, pad), (0, 0)))
-            K_ii_parts.append(K_ii_p)
-            K_ir_parts.append(K_ir_p)
+                    K_ir_p = jnp.pad(K_ir_p, ((0, 0), (0, pad), (0, 0)))
+                K_ii_parts.append(K_ii_p)
+                K_ir_parts.append(K_ir_p)
 
-        K_ii = jnp.concatenate(K_ii_parts, axis=0)
-        K_ir = jnp.concatenate(K_ir_parts, axis=0)
-        if n_s:
-            s = z[int(system.l_s) : int(system.r_s)]
-            K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
-                hss_of_s(s, fct_o, dtype)
-            )
-        return K_ii, K_ir, K_rr
+            K_ii = jnp.concatenate(K_ii_parts, axis=0)
+            K_ir = jnp.concatenate(K_ir_parts, axis=0)
+            if n_s:
+                s = z[int(system.l_s) : int(system.r_s)]
+                K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
+                    hss_of_s(s, fct_o, dtype)
+                )
+            return K_ii, K_ir, K_rr
+
+        return assemble
 
     return BlockKKT(
         layout=layout,
         interior_pad=interior_pad,
         ni_max=ni_max,
         n_blocks=n_blocks,
-        assemble=assemble,
+        assemble=_mk_assemble(_m_pointwise, fns_pt),
+        assemble_ad=_mk_assemble(_m_ad, fns_ad),
     )

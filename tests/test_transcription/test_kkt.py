@@ -170,3 +170,24 @@ def test_runtime_bc_values_flow_into_blocks():
         np.testing.assert_allclose(
             np.asarray(K_ii)[b], K[np.ix_(interior[b], interior[b])], atol=1e-9
         )
+
+
+@pytest.mark.parametrize(
+    "builder", [_lqr, _radau_messy, _two_phase, _with_system_rows],
+    ids=["lqr", "radau-messy", "two-phase", "system-rows"],
+)
+def test_pointwise_matches_interval_ad(builder):
+    """The production pointwise assembly must equal the whole-interval
+    AD oracle exactly (same pattern, same values)."""
+    system = builder()
+    ops = make_block_kkt(system)
+    compiled = system.compiled
+    rng = np.random.default_rng(11)
+    z = rng.normal(0.4, 0.5, compiled.L)
+    lam = rng.normal(0, 1, compiled.m)
+    D = rng.uniform(0.5, 2.0, compiled.m)
+    rt = compiled.default_runtime()
+    out_pt = ops.assemble(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D), rt, 0.7)
+    out_ad = ops.assemble_ad(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D), rt, 0.7)
+    for a, b, name in zip(out_pt, out_ad, ["K_ii", "K_ir", "K_rr"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10, err_msg=name)

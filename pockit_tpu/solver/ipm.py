@@ -34,6 +34,12 @@ from jax import lax
 
 from pockit_tpu.solver.options import IPOptions
 
+import os as _os
+
+# dev-only: POCKIT_IPM_DEBUG_TRACE=1 swaps the per-iteration trace row for
+# Newton-direction internals (see body()); never set in production
+_DEBUG_TRACE = bool(_os.environ.get("POCKIT_IPM_DEBUG_TRACE"))
+
 _FILTER_SIZE = 24
 
 
@@ -166,8 +172,9 @@ def make_ip_solver(
 
     Linear-solver modes (``options.kkt_solver``):
 
-    - ``"block"`` (production; ``"auto"`` selects it when ``block`` — a
-      :class:`pockit_tpu.transcription.kkt.BlockKKT` — is given): the
+    - ``"block"`` (production; ``"auto"`` selects it on CPU when ``block``
+      — a :class:`pockit_tpu.transcription.kkt.BlockKKT` — is given, and
+      ``"pallas"`` on accelerators): the
       condensed matrix is assembled directly in block-arrow storage from
       interval-local AD and factored by interior elimination; J and W act
       matrix-free (``jax.linearize`` / ``vjp`` products). Nothing
@@ -186,7 +193,15 @@ def make_ip_solver(
     opt = options
     mode = opt.kkt_solver
     if mode == "auto":
-        mode = "block" if block is not None else "dense"
+        if block is not None:
+            # TPU: the fused Pallas factorization (fast Mosaic compile, one
+            # HBM pass, immune to the XLA expander numerics that broke the
+            # lax block path at B>=1024 on v5e). CPU: the block path with
+            # LAPACK-backed factorization (pallas would run in interpret
+            # mode there — orders of magnitude slower).
+            mode = "pallas" if jax.default_backend() != "cpu" else "block"
+        else:
+            mode = "dense"
     use_pallas = mode == "pallas" and block is not None
     use_block = (mode == "block" or use_pallas) and block is not None
     use_structured = mode == "structured" and structured is not None
@@ -201,7 +216,7 @@ def make_ip_solver(
         )
 
         _bk_factor, _bk_apply = make_block_arrow_core(
-            block.interior_pad, block.layout.reduced, n
+            block.interior_pad, block.layout.reduced, n, method=opt.block_core
         )
         _bk_krylov = int(block.layout.krylov_rank)
         _bk_pcg = (
@@ -1110,7 +1125,27 @@ def make_ip_solver(
             )
             dreg_n = jnp.where(do_reset, 0.0, dreg_n)
 
-            trace_row = jnp.stack([E0, mu, alpha, delta_w, theta0, phi0])
+            if _DEBUG_TRACE:
+                # diagnostic mode (POCKIT_IPM_DEBUG_TRACE=1): record Newton
+                # direction internals instead of the standard row to bisect
+                # batch-size-dependent numerical anomalies
+                _dK = (
+                    jnp.max(jnp.abs(K_ii0))
+                    if use_block
+                    else jnp.max(jnp.abs(K0))
+                )
+                trace_row = jnp.stack(
+                    [
+                        jnp.max(jnp.abs(rhs)),
+                        _dK,
+                        jnp.max(jnp.abs(dz)),
+                        jnp.max(jnp.abs(dy)) if m else jnp.asarray(0.0, dtype),
+                        jnp.max(jnp.abs(jty)),
+                        jnp.max(jnp.abs(Jdz)) if m else jnp.asarray(0.0, dtype),
+                    ]
+                )
+            else:
+                trace_row = jnp.stack([E0, mu, alpha, delta_w, theta0, phi0])
             trace_n = lax.dynamic_update_slice(
                 st.trace, trace_row[None, :], (st.it, jnp.asarray(0, st.it.dtype))
             )

@@ -59,6 +59,11 @@ class IPOptions:
     #   dense condensed matrix (oracle/debug path)
     # - "dense": Cholesky of the full condensed matrix
     kkt_solver: str = "auto"
+    # factor/apply primitive set for the block path: "lax"
+    # (jnp.linalg.cholesky / solve_triangular — LAPACK on CPU), "unrolled"
+    # (expander-free elementwise substitution — batch-shape-invariant
+    # numerics, the TPU production form), or "auto" (unrolled off-CPU)
+    block_core: str = "auto"
     # matmul precision for the whole solve ('highest' forces true float32
     # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
     # passes — fatal for Cholesky factorizations)

@@ -101,7 +101,11 @@ def _chol_lanes(A, n_real):
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         mask = (rows > k).astype(A.dtype)
         col = v * inv[None, :] * mask
-        cols.append(col.at[k, :].set(dk))
+        # row k = dk, written via an elementwise select (``.at[k].set``
+        # emits a scatter primitive, which Mosaic cannot lower inside a
+        # kernel); rows <= k of ``col`` are already zero
+        row_k = (rows == k).astype(A.dtype)
+        cols.append(col + row_k * dk[None, :])
     L = jnp.stack(cols, axis=1)  # column k -> L[:, k, :]
     return L, sc, dmin, dmax
 
@@ -186,7 +190,11 @@ def _factor_kernel(
         # (rank-1 form), the difference between the f32 interior point
         # converging in 2 iterations and stalling. Tree summation for the
         # cancellation-heavy contraction.
-        P = [t[i, :, None, :] * t[i, None, :, :] for i in range(ni_p)]
+        # NOTE two-step indexing (t[i] then broadcast): mixing an int index
+        # with None (t[i, :, None, :]) routes through JAX's general gather
+        # lowering, and Mosaic cannot lower >2D gathers inside a kernel
+        rows = [t[i] for i in range(ni_p)]
+        P = [r[:, None, :] * r[None, :, :] for r in rows]
         s_scr[:] = s_scr[:] - _tree_sum(P)
         piv_scr[0, :] = jnp.minimum(piv_scr[0, :], dmin)
         piv_scr[1, :] = jnp.maximum(piv_scr[1, :], dmax)

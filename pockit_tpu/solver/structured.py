@@ -154,7 +154,67 @@ def pattern_violation(K, layout: StructuredLayout) -> jax.Array:
     return jnp.max(jnp.where(allowed, 0.0, jnp.abs(K)))
 
 
-def make_block_arrow_core(interior, reduced, n: int):
+def _tree_sum(terms):
+    """Pairwise summation (log-depth rounding instead of linear); matters
+    for float32 accuracy of the unrolled factorizations below."""
+    while len(terms) > 1:
+        odd = [terms[-1]] if len(terms) % 2 else []
+        terms = [
+            terms[2 * j] + terms[2 * j + 1] for j in range(len(terms) // 2)
+        ] + odd
+    return terms[0]
+
+
+def _chol_unrolled(A):
+    """Left-looking Cholesky of an ``(..., k, k)`` SPD batch, unrolled over
+    the (small, static) ``k`` columns in pure elementwise ops.
+
+    Exists because ``jnp.linalg.cholesky`` on TPU goes through XLA's
+    expander whose internal algorithm (and effective numerics) varies with
+    the batch shape: the identical per-lane problem factored at batch 512
+    and 1024 produced *different* float32 Newton directions inside the
+    solver's while_loop — wrong enough to stall convergence at large batch
+    (observed on v5e, 2026-08; dense path unaffected). Unrolled elementwise
+    arithmetic is batch-shape-invariant by construction and fuses into one
+    VPU kernel. Negative pivots surface as nan (sqrt of a negative),
+    matching ``jnp.linalg.cholesky``; the accumulation over previous
+    columns is tree-summed (LAPACK-grade backward error, unlike a
+    right-looking downdate chain)."""
+    k = A.shape[-1]
+    cols = []  # cols[j]: (..., k) = column j of L (rows < j are zero)
+    for j in range(k):
+        a_j = A[..., :, j]
+        if j:
+            a_j = a_j - _tree_sum(
+                [cols[p] * cols[p][..., j][..., None] for p in range(j)]
+            )
+        d = jnp.sqrt(a_j[..., j])
+        col = a_j / d[..., None]
+        mask = np.arange(k) >= j  # static row mask: strict lower + diagonal
+        cols.append(jnp.where(mask, col, 0.0))
+    return jnp.stack(cols, axis=-1)
+
+
+def _tri_solve_unrolled(L, B, lower=True):
+    """Solve ``L x = B`` (or ``L^T x = B`` when ``lower=False`` — pass the
+    lower factor either way) for ``L (..., k, k)``, ``B (..., k, m)`` by
+    substitution unrolled over the static ``k``. Same rationale as
+    :func:`_chol_unrolled`: XLA's triangular-solve expander is
+    batch-shape-dependent on TPU; this form is exact elementwise code."""
+    k = L.shape[-1]
+    rows = list(range(k)) if lower else list(range(k - 1, -1, -1))
+    xs = [None] * k
+    for i in rows:
+        s = B[..., i, :]
+        prev = [p for p in (range(i) if lower else range(i + 1, k))]
+        if prev:
+            coef = lambda p: (L[..., i, p] if lower else L[..., p, i])
+            s = s - _tree_sum([coef(p)[..., None] * xs[p] for p in prev])
+        xs[i] = s / L[..., i, i][..., None]
+    return jnp.stack(xs, axis=-2)
+
+
+def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
     """Factor/apply for a block-arrow SPD system given directly in block
     storage ``(K_ii, K_ir, K_rr)`` — the production form fed by
     ``transcription.kkt.make_block_kkt`` (nothing (L, L)-shaped exists).
@@ -181,12 +241,26 @@ def make_block_arrow_core(interior, reduced, n: int):
     interior = np.asarray(interior)  # (nb, ni), possibly padded with n
     reduced = np.asarray(reduced)  # (nr,)
 
+    # "unrolled" avoids XLA's cholesky/triangular_solve expanders, whose
+    # TPU numerics proved batch-shape-dependent (see _chol_unrolled); CPU
+    # keeps the LAPACK-backed lax ops, which are both exact and faster
+    if method == "auto":
+        method = "lax" if jax.default_backend() == "cpu" else "unrolled"
+    use_unrolled = method == "unrolled"
+
+    def _chol(A):
+        return _chol_unrolled(A) if use_unrolled else jnp.linalg.cholesky(A)
+
+    def _tri(L, B, lower):
+        if use_unrolled:
+            return _tri_solve_unrolled(L, B, lower=lower)
+        Lm = L if lower else jnp.swapaxes(L, -1, -2)
+        return jax.scipy.linalg.solve_triangular(Lm, B, lower=lower)
+
     def _blk_solve(L_i, sc_i, B):
         Bs = B * sc_i[:, :, None]
-        t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
-        X = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L_i, 1, 2), t, lower=False
-        )
+        t = _tri(L_i, Bs, lower=True)
+        X = _tri(L_i, t, lower=False)
         return X * sc_i[:, :, None]
 
     def factor(K_ii, K_ir, K_rr):
@@ -195,7 +269,7 @@ def make_block_arrow_core(interior, reduced, n: int):
             jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
         )  # (nb, ni)
         K_ii_t = K_ii * sc_i[:, :, None] * sc_i[:, None, :]
-        L_i = jnp.linalg.cholesky(K_ii_t)
+        L_i = _chol(K_ii_t)
         diag_i = jnp.diagonal(L_i, axis1=1, axis2=2)
         L_i_safe = jnp.where(
             jnp.isfinite(L_i), L_i, jnp.eye(L_i.shape[-1], dtype=dtype)
@@ -205,7 +279,7 @@ def make_block_arrow_core(interior, reduced, n: int):
         S = K_rr - jnp.einsum("bik,bil->kl", K_ir, X_ir)
         sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
         S_t = S * sc_r[:, None] * sc_r[None, :]
-        L_r = jnp.linalg.cholesky(S_t)
+        L_r = _chol(S_t)
         diag_r = jnp.diagonal(L_r)
         L_r_safe = jnp.where(
             jnp.isfinite(L_r), L_r, jnp.eye(L_r.shape[-1], dtype=dtype)
@@ -227,8 +301,8 @@ def make_block_arrow_core(interior, reduced, n: int):
         x_bi = _blk_solve(L_i, sc_i, b_i[:, :, None])[:, :, 0]
 
         r_red = b_r - jnp.einsum("bik,bi->k", K_ir, x_bi)
-        t = jax.scipy.linalg.solve_triangular(L_r, sc_r * r_red, lower=True)
-        x_r = sc_r * jax.scipy.linalg.solve_triangular(L_r.T, t, lower=False)
+        t = _tri(L_r, (sc_r * r_red)[:, None], lower=True)
+        x_r = sc_r * _tri(L_r, t, lower=False)[:, 0]
 
         x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
         x = jnp.zeros_like(rhs)

@@ -166,3 +166,59 @@ def test_multiphase_layout():
     np.testing.assert_allclose(
         np.asarray(x), np.linalg.solve(K, rhs), rtol=1e-8, atol=1e-9
     )
+
+
+def test_unrolled_core_matches_lax():
+    """The unrolled (expander-free) factor/apply must match the LAPACK-backed
+    lax path to roundoff, batched over leading axes, and surface non-SPD
+    blocks as nan pivots. The unrolled form is the TPU production path: the
+    XLA cholesky/triangular_solve expanders produced batch-shape-dependent
+    float32 directions inside the solver loop on v5e (B>=1024 regression)."""
+    import jax.numpy as jnp
+
+    from pockit_tpu.solver.structured import make_block_arrow_core
+
+    rng = np.random.default_rng(3)
+    nb, ni, nr = 5, 9, 12
+    n = nb * ni + nr
+    interior = np.arange(nb * ni).reshape(nb, ni)
+    reduced = np.arange(nb * ni, n)
+    M = rng.normal(size=(n, n))
+    K = M @ M.T + n * np.eye(n)
+    allowed = np.zeros((n, n), bool)
+    for b in range(nb):
+        allowed[np.ix_(interior[b], interior[b])] = True
+    allowed[:, reduced] = True
+    allowed[reduced, :] = True
+    K = np.where(allowed, K, 0.0)
+    K = (K + K.T) / 2 + n * np.eye(n)
+    K_ii = np.stack([K[np.ix_(interior[b], interior[b])] for b in range(nb)])
+    K_ir = np.stack([K[np.ix_(interior[b], reduced)] for b in range(nb)])
+    K_rr = K[np.ix_(reduced, reduced)]
+    rhs = rng.normal(size=n)
+
+    results = {}
+    for method in ("lax", "unrolled"):
+        factor, apply_ = make_block_arrow_core(
+            interior, reduced, n, method=method
+        )
+        fac, p_min, p_max = factor(
+            jnp.asarray(K_ii), jnp.asarray(K_ir), jnp.asarray(K_rr)
+        )
+        x = np.asarray(apply_(fac, jnp.asarray(rhs)))
+        assert float(p_min) > 0 and np.isfinite(float(p_max))
+        np.testing.assert_allclose(K @ x, rhs, rtol=0, atol=1e-8)
+        results[method] = x
+    np.testing.assert_allclose(
+        results["unrolled"], results["lax"], rtol=1e-10, atol=1e-12
+    )
+
+    # an indefinite interior block must surface as nan pivots (the solver's
+    # inertia-escalation loop keys off this)
+    K_bad = K_ii.copy()
+    K_bad[2] -= 10.0 * n * np.eye(ni)
+    factor, _ = make_block_arrow_core(interior, reduced, n, method="unrolled")
+    _, p_min, _ = factor(
+        jnp.asarray(K_bad), jnp.asarray(K_ir), jnp.asarray(K_rr)
+    )
+    assert np.isnan(float(p_min))

@@ -222,8 +222,10 @@ def make_ip_solver(
         _bk_pcg = (
             make_pcg_apply(_bk_apply, _bk_krylov + 2) if _bk_krylov else None
         )
-        _bk_interior = jnp.asarray(block.interior_pad)
-        _bk_reduced = jnp.asarray(block.layout.reduced)
+        # numpy, not jnp: device-resident closure constants cost one host
+        # fetch each at MLIR-lowering time (~2 s over the axon tunnel)
+        _bk_interior = np.asarray(block.interior_pad)
+        _bk_reduced = np.asarray(block.layout.reduced)
         _bk_assemble = block.assemble
     if use_pallas:
         from pockit_tpu.solver.pallas_kkt import (

@@ -536,7 +536,16 @@ def make_newton_dir(
     nb, ni = interior.shape
     nr = len(reduced)
     core = _make_pallas_core(interior, reduced, n, interpret=interpret)
-    xla_factor, xla_apply = make_block_arrow_core(interior, reduced, n)
+    # per-lane fallback pinned to the lax primitives: custom_vmap stages the
+    # per-lane fn into a jaxpr on EVERY call (batched or not), so the
+    # "unrolled" form would add its full O(k^2)-op trace to every solver
+    # build (~2x trace time observed) while production batched solves only
+    # ever run the Pallas kernels. Single unbatched solves take this lax
+    # path; the batch-shape-dependent XLA expander anomaly motivating
+    # "unrolled" was only ever observed at B >= 1024 lanes.
+    xla_factor, xla_apply = make_block_arrow_core(
+        interior, reduced, n, method="lax"
+    )
     ni_p, nr_p = core.ni_p, core.nr_p
 
     def _ba_mv(K_ii, K_ir, K_rr, delta, x):

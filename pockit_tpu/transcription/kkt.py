@@ -370,7 +370,7 @@ def _make_pointwise_m(system, ph):
         c += [i_t0, i_tf]
         c += [s0c + k for k in range(n_s)]
         cm[q] = c
-    cm = jnp.asarray(cm)
+    # stays numpy (host constant — see the BlockKKT consts note)
 
     # static linear Jacobian rows: d(X @ Tb.T)/d z_sub
     Tb = np.asarray(ph["T_blk"][0])
@@ -601,25 +601,28 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
     fns_pt = [_make_pointwise_m(system, ph) for ph in phases]
     fns_ad = [_make_interval_fns(system, ph) for ph in phases]
 
-    # device constants
+    # HOST (numpy) constants, deliberately not jnp.asarray: device-resident
+    # closure constants are fetched back to the host during MLIR lowering
+    # (one blocking transfer each — ~2 s/array over the axon tunnel, ~40 s
+    # of the solver's cold start). numpy constants embed directly.
     consts = []
     for ph in phases:
         consts.append(
             dict(
-                local_cols=jnp.asarray(ph["local_cols"]),
-                row_idx=jnp.asarray(ph["row_idx"]),
-                row_w=jnp.asarray(ph["row_w"]),
-                T=jnp.asarray(ph["T_blk"]),
-                I=jnp.asarray(ph["I_blk"]),
-                tau=jnp.asarray(ph["tau"]),
-                w=jnp.asarray(ph["w_blk"]),
-                fm=jnp.asarray(ph["fixed_mask"]),
-                fsl=jnp.asarray(ph["fixed_slot"]),
-                qm=jnp.asarray(ph["func_mask"]),
-                qsl=jnp.asarray(ph["func_slot"]),
-                int_sel=jnp.asarray(ph["int_sel"]),
-                red_sel=jnp.asarray(ph["red_sel"]),
-                red_pos=jnp.asarray(ph["red_pos"]),
+                local_cols=np.asarray(ph["local_cols"]),
+                row_idx=np.asarray(ph["row_idx"]),
+                row_w=np.asarray(ph["row_w"]),
+                T=np.asarray(ph["T_blk"]),
+                I=np.asarray(ph["I_blk"]),
+                tau=np.asarray(ph["tau"]),
+                w=np.asarray(ph["w_blk"]),
+                fm=np.asarray(ph["fixed_mask"]),
+                fsl=np.asarray(ph["fixed_slot"]),
+                qm=np.asarray(ph["func_mask"]),
+                qsl=np.asarray(ph["func_slot"]),
+                int_sel=np.asarray(ph["int_sel"]),
+                red_sel=np.asarray(ph["red_sel"]),
+                red_pos=np.asarray(ph["red_pos"]),
             )
         )
 

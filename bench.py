@@ -87,9 +87,11 @@ def main():
     opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
 
     def solve_all(bc):
+        # x0b stays device-resident: np.asarray here would haul the full
+        # (B, L) guess host-side and re-upload it every repetition
         status, obj, iters, _, done1 = ipm.solve_batch_drained(
             system,
-            np.asarray(x0b),
+            x0b,
             bc_overrides=(jnp.asarray(bc),),
             optimizer_options=opts_drain,
             first_pass_options=opts_fast,

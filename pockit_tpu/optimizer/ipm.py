@@ -205,13 +205,18 @@ def solve_batch_drained(
     converges, so a few hard instances dominate wall time. This runs a
     short-iteration first pass over the full batch, then compacts the
     unconverged lanes into a small (B/drain_frac) batch and finishes them
-    there. Returns ``(status, obj, iterations, z)`` as host numpy arrays
-    (plus the first-pass convergence mask when
-    ``return_first_pass_mask``). ``first_pass_options`` overrides the
-    first-pass solver options entirely; by default the drain options with
+    there. Returns ``(status, obj, iterations, z)``; ``status``, ``obj``
+    and ``iterations`` are host numpy arrays, ``z`` stays a DEVICE array
+    (``np.asarray(z)`` to fetch) — the full primal batch is the one large
+    buffer, and hauling it host-side costs more than the drain itself on
+    a remote-accelerator link (gathers/scatters for the drain happen on
+    device). ``first_pass_options`` overrides the first-pass solver
+    options entirely; by default the drain options with
     ``max_iter=first_pass_iters``.
     """
     import dataclasses
+
+    import jax.numpy as jnp
 
     if optimizer_options is None:
         optimizer_options = default_options()
@@ -227,24 +232,24 @@ def solve_batch_drained(
     status = np.array(res.status)
     obj = np.array(res.obj)
     iters = np.array(res.iterations)
-    z = np.array(res.z)
+    z = res.z  # device-resident; only gathered rows ever cross the link
     first_pass_mask = status == 0
 
     compiled = system.compiled
     if bc_overrides is None:
         rt0 = compiled.default_runtime()
         bc_full = tuple(
-            np.broadcast_to(np.asarray(v), (B,) + np.asarray(v).shape)
+            jnp.broadcast_to(jnp.asarray(v), (B,) + jnp.asarray(v).shape)
             for v in rt0["bc"]
         )
     else:
-        bc_full = tuple(np.asarray(v) for v in bc_overrides)
+        bc_full = tuple(jnp.asarray(v) for v in bc_overrides)
 
     pending = np.where(status != 0)[0]
     rounds = 0
     while len(pending) and rounds < max_drain_rounds:
         take = pending[:B_drain]
-        idx = np.resize(take, B_drain)
+        idx = jnp.asarray(np.resize(take, B_drain))
         res2 = solve_batch(
             system,
             z[idx],
@@ -255,7 +260,7 @@ def solve_batch_drained(
         status[take] = np.asarray(res2.status)[:uniq]
         obj[take] = np.asarray(res2.obj)[:uniq]
         iters[take] = iters[take] + np.asarray(res2.iterations)[:uniq]
-        z[take] = np.asarray(res2.z)[:uniq]
+        z = z.at[jnp.asarray(take)].set(res2.z[:uniq])
         pending = pending[uniq:]
         rounds += 1
     if return_first_pass_mask:

@@ -246,23 +246,44 @@ def solve_batch_drained(
         bc_full = tuple(jnp.asarray(v) for v in bc_overrides)
 
     pending = np.where(status != 0)[0]
-    rounds = 0
-    while len(pending) and rounds < max_drain_rounds:
-        take = pending[:B_drain]
-        idx = jnp.asarray(np.resize(take, B_drain))
-        res2 = solve_batch(
-            system,
-            z[idx],
-            bc_overrides=tuple(v[idx] for v in bc_full),
-            optimizer_options=optimizer_options,
-        )
-        uniq = len(take)
-        status[take] = np.asarray(res2.status)[:uniq]
-        obj[take] = np.asarray(res2.obj)[:uniq]
-        iters[take] = iters[take] + np.asarray(res2.iterations)[:uniq]
-        z = z.at[jnp.asarray(take)].set(res2.z[:uniq])
-        pending = pending[uniq:]
-        rounds += 1
+    if len(pending):
+        # one fused jitted program per drain round: gather the straggler
+        # rows, solve them as a compact batch, scatter the solutions back —
+        # a single device dispatch. Issuing the gather / solve / scatter as
+        # separate eager ops costs one link round-trip each, which on a
+        # remote-accelerator tunnel (~0.5 s/dispatch) dwarfed the actual
+        # drain solve (often 0 iterations — lanes that finished their last
+        # improving step exactly at first-pass max_iter).
+        compiled_d, solve_fn_d, bounds0 = _solver_for(system, optimizer_options)
+        cache = compiled_d._ipm_cache
+        key = (optimizer_options, "drain_round")
+        if key not in cache:
+
+            def _drain_round(z_full, idx, bc_full_t, bounds):
+                zi = z_full[idx]
+                bci = tuple(v[idx] for v in bc_full_t)
+                Bd = idx.shape[0]
+                bounds_b = Bounds(
+                    *[jnp.broadcast_to(b, (Bd,) + b.shape) for b in bounds]
+                )
+                r = jax.vmap(solve_fn_d)(zi, bounds_b, {"bc": bci})
+                # duplicate indices (np.resize tiling) scatter identical
+                # rows, so the update is well-defined
+                return z_full.at[idx].set(r.z), r.status, r.obj, r.iterations
+
+            cache[key] = jax.jit(_drain_round)
+        drain_round = cache[key]
+        rounds = 0
+        while len(pending) and rounds < max_drain_rounds:
+            take = pending[:B_drain]
+            idx = jnp.asarray(np.resize(take, B_drain))
+            z, st2, ob2, it2 = drain_round(z, idx, bc_full, bounds0)
+            uniq = len(take)
+            status[take] = np.asarray(st2)[:uniq]
+            obj[take] = np.asarray(ob2)[:uniq]
+            iters[take] = iters[take] + np.asarray(it2)[:uniq]
+            pending = pending[uniq:]
+            rounds += 1
     if return_first_pass_mask:
         return status, obj, iters, z, first_pass_mask
     return status, obj, iters, z

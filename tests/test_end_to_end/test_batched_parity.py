@@ -84,3 +84,32 @@ def test_solve_batch_drained():
     assert np.all(status == 0)
     J1 = 0.2319139744522318
     np.testing.assert_allclose(obj, J1 * bc[:, 0] ** 2, rtol=1e-6)
+
+
+def test_solve_batch_drained_forced_rounds():
+    """first_pass_iters=1 leaves every lane unconverged, forcing the fused
+    drain rounds (one jitted gather->solve->scatter dispatch per round) to
+    produce the full result set."""
+    system, phase = _build(1.0)
+    guess = lobatto.constant_guess(phase, 0)
+    x0, _ = preprocess(system, [guess, [0.0]])
+    compiled = system.compiled
+    B = 24
+    rng = np.random.default_rng(11)
+    bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
+    bc[:, 0] = rng.uniform(0.5, 1.5, B)
+    status, obj, iters, z, mask1 = ipm.solve_batch_drained(
+        system,
+        np.tile(x0, (B, 1)),
+        bc_overrides=(bc,),
+        first_pass_iters=1,
+        drain_frac=4,  # B_drain=8 < pending: exercises >1 round
+        max_drain_rounds=4,
+        return_first_pass_mask=True,
+    )
+    assert not mask1.any()
+    assert np.all(status == 0)
+    J1 = 0.2319139744522318
+    np.testing.assert_allclose(obj, J1 * bc[:, 0] ** 2, rtol=1e-6)
+    zh = np.asarray(z)
+    assert zh.shape == (B, system.L) and np.isfinite(zh).all()

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,7 +48,10 @@ def homotopy_sweep(
         res = ipm.solve_batch(
             system, z, bc_overrides=bc, optimizer_options=optimizer_options
         )
-        jax.block_until_ready(res)
+        # no host sync here: stage k+1 chains on res.z device-side, and
+        # callers that need host values fetch them (np.asarray) — a
+        # block_until_ready would be misleading anyway on remote-tunnel
+        # backends where it does not actually block
         if on_stage is not None:
             on_stage(k, res)
         results.append(res)

@@ -42,6 +42,11 @@ _DEBUG_TRACE = bool(_os.environ.get("POCKIT_IPM_DEBUG_TRACE"))
 
 _FILTER_SIZE = 24
 
+# least-squares multiplier init: largest per-lane (m, L) Jacobian that may
+# be materialized for the exact dense solve; above this the block path
+# switches to matrix-free CG (see _solve_impl)
+_LS_INIT_DENSE_MAX_BYTES = 1 << 20
+
 
 class Bounds(NamedTuple):
     """NLP bounds: ``z_lb <= z <= z_ub``, ``c_lb <= c(z) <= c_ub``."""
@@ -342,10 +347,46 @@ def make_ip_solver(
         # estimate is enormous (far-from-feasible cold starts)
         if m:
             g0_ = grad_fn(z, rt)
-            J0_ = jac_fn(z, rt)
             r0_ = g0_ - w_l + w_u
-            G = J0_ @ J0_.T + 1e-8 * jnp.eye(m, dtype=dtype)
-            y0 = -jnp.linalg.solve(G, J0_ @ r0_)
+            # dense solve below 1 MB/lane of Jacobian (exact LS init, and
+            # the basin of attraction of init-sensitive problems — e.g.
+            # Goddard's singular arc — matches the reference pipeline);
+            # matrix-free CG above it, where a (B, m, L) init temporary
+            # would dominate peak memory for batched large meshes
+            if use_block and m * n * 4 > _LS_INIT_DENSE_MAX_BYTES:
+                # matrix-free: CG on the normal equations J J^T y = -J r0.
+                # A fixed-trip CG with J / J^T products costs ~2 c_fn-evals
+                # per step, and init accuracy only gates how many IPM
+                # iterations a warm start needs, not correctness.
+                _, j0_mv = jax.linearize(lambda v: c_fn(v, rt), z)
+                _, _cvjp0 = jax.vjp(lambda v: c_fn(v, rt), z)
+                jt0_mv = lambda u: _cvjp0(u)[0]
+                b0 = -j0_mv(r0_)
+
+                def _g_mv(u):
+                    return j0_mv(jt0_mv(u)) + 1e-8 * u
+
+                def _cg_body(_, carry):
+                    yv, r_, p_, rr_ = carry
+                    Gp = _g_mv(p_)
+                    denom = p_ @ Gp
+                    alpha = jnp.where(jnp.abs(denom) > 1e-30, rr_ / denom, 0.0)
+                    yv = yv + alpha * p_
+                    r_n = r_ - alpha * Gp
+                    rr_n = r_n @ r_n
+                    beta = jnp.where(rr_ > 1e-30, rr_n / rr_, 0.0)
+                    return yv, r_n, r_n + beta * p_, rr_n
+
+                y0, _, _, _ = lax.fori_loop(
+                    0,
+                    min(m, 128),
+                    _cg_body,
+                    (jnp.zeros((m,), dtype), b0, b0, b0 @ b0),
+                )
+            else:
+                J0_ = jac_fn(z, rt)
+                G = J0_ @ J0_.T + 1e-8 * jnp.eye(m, dtype=dtype)
+                y0 = -jnp.linalg.solve(G, J0_ @ r0_)
             y0 = jnp.where(
                 jnp.max(jnp.abs(y0))
                 > 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0_))),

@@ -134,3 +134,35 @@ def test_trace_records_iterations():
     # mu column is non-increasing
     mus = tr[:it, 1]
     assert np.all(np.diff(mus) <= 1e-12)
+
+
+def test_matrix_free_ls_init_converges(monkeypatch):
+    """Force the matrix-free CG multiplier initialization (used when the
+    per-lane Jacobian would be a memory hazard) and check the LQR gate
+    still converges to the reference objective."""
+    import pockit_tpu.solver.ipm as sipm
+    import pockit_tpu.lobatto as lob
+    from pockit_tpu.lobatto import constant_guess
+    from pockit_tpu.optimizer import ipm as oipm
+    from pockit_tpu.solver import IPOptions
+
+    monkeypatch.setattr(sipm, "_LS_INIT_DENSE_MAX_BYTES", 0)
+    system = lob.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(10, 10)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    guess = constant_guess(phase, 0)
+    _, info = oipm.solve(
+        system,
+        [guess, [0.0]],
+        optimizer_options=IPOptions(tol=1e-9, kkt_solver="block"),
+    )
+    assert info["status"] == 0
+    assert abs(float(info["obj_val"]) - 0.2319139744522318) < 1e-9

@@ -216,8 +216,6 @@ def solve_batch_drained(
     """
     import dataclasses
 
-    import jax.numpy as jnp
-
     if optimizer_options is None:
         optimizer_options = default_options()
     opts_fast = first_pass_options or dataclasses.replace(

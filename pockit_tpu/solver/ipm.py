@@ -38,7 +38,9 @@ import os as _os
 
 # dev-only: POCKIT_IPM_DEBUG_TRACE=1 swaps the per-iteration trace row for
 # Newton-direction internals (see body()); never set in production
-_DEBUG_TRACE = bool(_os.environ.get("POCKIT_IPM_DEBUG_TRACE"))
+_DEBUG_TRACE = _os.environ.get("POCKIT_IPM_DEBUG_TRACE", "").strip().lower() not in (
+    "", "0", "false", "off", "no",
+)
 
 _FILTER_SIZE = 24
 
@@ -201,10 +203,10 @@ def make_ip_solver(
         if block is not None:
             # TPU: the fused Pallas factorization (fast Mosaic compile, one
             # HBM pass, immune to the XLA expander numerics that broke the
-            # lax block path at B>=1024 on v5e). CPU: the block path with
-            # LAPACK-backed factorization (pallas would run in interpret
-            # mode there — orders of magnitude slower).
-            mode = "pallas" if jax.default_backend() != "cpu" else "block"
+            # lax block path at B>=1024 on v5e). Anywhere else (CPU, GPU):
+            # the block path — Pallas would run in interpret mode there,
+            # orders of magnitude slower.
+            mode = "pallas" if jax.default_backend() == "tpu" else "block"
         else:
             mode = "dense"
     use_pallas = mode == "pallas" and block is not None
@@ -353,14 +355,19 @@ def make_ip_solver(
             # Goddard's singular arc — matches the reference pipeline);
             # matrix-free CG above it, where a (B, m, L) init temporary
             # would dominate peak memory for batched large meshes
-            if use_block and m * n * 4 > _LS_INIT_DENSE_MAX_BYTES:
+            if (
+                use_block
+                and m * n * np.dtype(dtype).itemsize > _LS_INIT_DENSE_MAX_BYTES
+            ):
                 # matrix-free: CG on the normal equations J J^T y = -J r0.
                 # A fixed-trip CG with J / J^T products costs ~2 c_fn-evals
                 # per step, and init accuracy only gates how many IPM
                 # iterations a warm start needs, not correctness.
                 _, j0_mv = jax.linearize(lambda v: c_fn(v, rt), z)
-                _, _cvjp0 = jax.vjp(lambda v: c_fn(v, rt), z)
-                jt0_mv = lambda u: _cvjp0(u)[0]
+                # transpose the linearized map instead of a second vjp
+                # trace of c_fn (halves the init's linearization work)
+                _jt0 = jax.linear_transpose(j0_mv, z)
+                jt0_mv = lambda u: _jt0(u)[0]
                 b0 = -j0_mv(r0_)
 
                 def _g_mv(u):

@@ -49,8 +49,9 @@ class IPOptions:
     # watchdog: declare divergence when primal iterates blow up
     diverge_threshold: float = 1e20
     # KKT linear solver:
-    # - "auto": "block" when the problem fits the block-arrow pattern,
-    #   "dense" otherwise (the production default)
+    # - "auto" (the production default): when the problem fits the
+    #   block-arrow pattern, "pallas" on TPU and "block" elsewhere;
+    #   "dense" when it does not fit
     # - "block": per-interval assembled block-arrow factorization with
     #   matrix-free J/W products — nothing (L, L)-shaped is ever built
     # - "pallas": "block" with the factorization/back-solve fused into

@@ -39,7 +39,7 @@ from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pockit_tpu.solver.structured import make_block_arrow_core
+from pockit_tpu.solver.structured import _tree_sum, make_block_arrow_core
 
 _BT = 128  # batch lanes per tile
 
@@ -51,17 +51,6 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # in-kernel building blocks (all arrays (rows, [cols,] BT); batch in lanes)
 # ---------------------------------------------------------------------------
-
-
-def _tree_sum(terms):
-    """Pairwise summation of a list of same-shaped arrays (log-depth
-    rounding instead of linear — matters under heavy cancellation)."""
-    while len(terms) > 1:
-        odd = [terms[-1]] if len(terms) % 2 else []
-        terms = [
-            terms[2 * j] + terms[2 * j + 1] for j in range(len(terms) // 2)
-        ] + odd
-    return terms[0]
 
 
 def _chol_lanes(A, n_real):

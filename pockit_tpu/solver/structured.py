@@ -246,6 +246,13 @@ def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
     # keeps the LAPACK-backed lax ops, which are both exact and faster
     if method == "auto":
         method = "lax" if jax.default_backend() == "cpu" else "unrolled"
+    if method not in ("lax", "unrolled"):
+        # a silent fallthrough to "lax" would re-expose the large-batch TPU
+        # expander regression on a mere option typo
+        raise ValueError(
+            f"unknown block_core method {method!r}; use 'auto', 'lax' or "
+            "'unrolled'"
+        )
     use_unrolled = method == "unrolled"
 
     def _chol(A):

@@ -405,7 +405,9 @@ def make_structured_solve(layout: StructuredLayout):
     return solve
 
 
-def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
+def make_sharded_structured_solve(
+    layout: StructuredLayout, mesh, axis: str, method: str = "auto"
+):
     """Time-axis-sharded structured solve over a device mesh.
 
     The interval-interior blocks are independent, so they shard over the
@@ -439,6 +441,25 @@ def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
     interior_sh = np_.asarray(layout.interior).reshape(n_dev, nb // n_dev, ni)
     reduced = jnp.asarray(layout.reduced)
 
+    # same expander-avoidance policy as make_block_arrow_core: on TPU the
+    # lax cholesky/triangular_solve numerics are batch-shape-dependent
+    if method == "auto":
+        method = "lax" if jax.default_backend() == "cpu" else "unrolled"
+    if method not in ("lax", "unrolled"):
+        raise ValueError(
+            f"unknown method {method!r}; use 'auto', 'lax' or 'unrolled'"
+        )
+    use_unrolled = method == "unrolled"
+
+    def _chol(A):
+        return _chol_unrolled(A) if use_unrolled else jnp.linalg.cholesky(A)
+
+    def _tri(L, B, lower):
+        if use_unrolled:
+            return _tri_solve_unrolled(L, B, lower=lower)
+        Lm = L if lower else jnp.swapaxes(L, -1, -2)
+        return jax.scipy.linalg.solve_triangular(Lm, B, lower=lower)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -455,14 +476,12 @@ def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
         sc_i = jax.lax.rsqrt(
             jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
         )
-        L_i = jnp.linalg.cholesky(K_ii * sc_i[:, :, None] * sc_i[:, None, :])
+        L_i = _chol(K_ii * sc_i[:, :, None] * sc_i[:, None, :])
 
         def blk_solve(B):
             Bs = B * sc_i[:, :, None]
-            t = jax.scipy.linalg.solve_triangular(L_i, Bs, lower=True)
-            X = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L_i, 1, 2), t, lower=False
-            )
+            t = _tri(L_i, Bs, lower=True)
+            X = _tri(L_i, t, lower=False)
             return X * sc_i[:, :, None]
 
         X_ir = blk_solve(K_ir)
@@ -475,9 +494,9 @@ def make_sharded_structured_solve(layout: StructuredLayout, mesh, axis: str):
         r_red = rhs[reduced] - jax.lax.psum(r_part, axis)
 
         sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
-        L_r = jnp.linalg.cholesky(S * sc_r[:, None] * sc_r[None, :])
-        t = jax.scipy.linalg.solve_triangular(L_r, sc_r * r_red, lower=True)
-        x_r = sc_r * jax.scipy.linalg.solve_triangular(L_r.T, t, lower=False)
+        L_r = _chol(S * sc_r[:, None] * sc_r[None, :])
+        t = _tri(L_r, (sc_r * r_red)[:, None], lower=True)
+        x_r = sc_r * _tri(L_r, t, lower=False)[:, 0]
 
         x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
         x_local = jnp.zeros_like(rhs).at[my_interior.ravel()].set(x_i.ravel())

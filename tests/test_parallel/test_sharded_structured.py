@@ -59,3 +59,46 @@ def test_sharded_structured_matches_dense():
     # and agrees with the unsharded structured path bitwise-ish
     x_un, _, _ = make_structured_solve(layout)(jnp.asarray(K), jnp.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_un), atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_structured_unrolled_core():
+    """The expander-free (TPU production) primitive set must give the same
+    sharded solution as the lax path."""
+    system = lobatto.System([])
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + u**2])
+    phase.set_boundary_condition([1.0], [None], 0.0, 1.0)
+    phase.set_discretization(8, 6)  # 8 intervals -> 1 per device
+    system.set_phase([phase])
+    system.set_objective(phase.I[0])
+
+    layout = structured_layout(system)
+    assert layout is not None and layout.interior.shape[0] % 8 == 0
+
+    rng = np.random.default_rng(3)
+    compiled = system.compiled
+    z = rng.uniform(0.5, 1.2, system.L)
+    lam = rng.normal(0, 1, compiled.m)
+    W = np.asarray(compiled.hessian(z, lam, 1.0))
+    J = np.asarray(compiled.jacobian(z))
+    K = (
+        W
+        + np.diag(rng.uniform(0.1, 5.0, system.L))
+        + (J.T * rng.uniform(0.1, 10.0, compiled.m)) @ J
+    )
+    ev = np.linalg.eigvalsh(K)
+    if ev.min() < 1e-6:
+        K = K + (1e-3 - min(ev.min(), 0)) * np.eye(system.L)
+    rhs = rng.normal(size=system.L)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+    xs = {}
+    for method in ("lax", "unrolled"):
+        solve_sh = make_sharded_structured_solve(layout, mesh, "time", method=method)
+        xs[method] = np.asarray(jax.jit(solve_sh)(jnp.asarray(K), jnp.asarray(rhs)))
+        np.testing.assert_allclose(K @ xs[method], rhs, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(xs["unrolled"], xs["lax"], rtol=1e-9, atol=1e-11)

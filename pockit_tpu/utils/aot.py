@@ -1,0 +1,101 @@
+"""Ahead-of-time solver artifacts (``jax.export``).
+
+Cold-starting a batched solve costs two things: tracing the solver program
+(tens of seconds of pure Python/JAX work — the persistent compilation
+cache cannot help with it) and XLA compilation (cached by
+``jax_compilation_cache_dir``). Exporting the traced program to a
+StableHLO artifact removes the trace cost entirely: production processes
+deserialize the artifact (milliseconds) and go straight to (cached)
+compilation — the "compile once, deploy everywhere on this platform"
+story a serving fleet needs.
+
+The reference has no analog (it JIT-compiles Numba kernels per process,
+``/root/reference/pockit/base/fastfunc.py``); this is TPU-deployment
+infrastructure.
+
+Caveats:
+
+- an artifact pins the platform it was lowered for (export on TPU to run
+  on TPU), the batch size, the mesh/degree layout, and the solver
+  options — one artifact per production configuration;
+- custom-call compatibility follows jax.export's guarantees (~6 months
+  of jaxlib releases).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from pockit_tpu.solver import IPOptions
+from pockit_tpu.solver.ipm import IPResult
+
+# the artifact's output pytree contains IPResult; namedtuple pytree nodes
+# must be registered for serialization (idempotent per process)
+try:
+    jax_export.register_namedtuple_serialization(
+        IPResult, serialized_name="pockit_tpu.solver.ipm.IPResult"
+    )
+except ValueError:
+    pass
+
+
+def export_batch_solver(
+    system,
+    batch_size: int,
+    optimizer_options: Optional[IPOptions] = None,
+) -> bytes:
+    """Trace + lower the batched solve once and serialize it.
+
+    The artifact's calling convention is ``(guess_batch, *bc_batches) ->
+    IPResult`` with ``guess_batch (B, L)`` and one ``(B, n_fixed)`` array
+    per phase (the FIXED boundary values — the per-instance data of a
+    sweep). Bounds are baked in from the system configuration.
+    """
+    from pockit_tpu.optimizer.ipm import _solver_for
+    from pockit_tpu.solver import Bounds
+
+    compiled, solve_fn, bounds0 = _solver_for(system, optimizer_options)
+    B = int(batch_size)
+    dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+
+    bounds_b = Bounds(
+        *[jnp.broadcast_to(jnp.asarray(b), (B,) + b.shape) for b in bounds0]
+    )
+
+    def f(z0_batch, *bc_batches):
+        return jax.vmap(solve_fn)(z0_batch, bounds_b, {"bc": tuple(bc_batches)})
+
+    z_shape = jax.ShapeDtypeStruct((B, compiled.L), dtype)
+    bc_shapes = tuple(
+        jax.ShapeDtypeStruct((B,) + np.asarray(v).shape, dtype)
+        for v in compiled.default_runtime()["bc"]
+    )
+    exported = jax_export.export(jax.jit(f))(z_shape, *bc_shapes)
+    return exported.serialize()
+
+
+def save_batch_solver(path, system, batch_size, optimizer_options=None) -> None:
+    """``export_batch_solver`` straight to a file."""
+    blob = export_batch_solver(system, batch_size, optimizer_options)
+    with open(path, "wb") as fh:
+        fh.write(blob)
+
+
+def load_batch_solver(path_or_bytes):
+    """Deserialize an exported batch solver; returns ``call(z0, *bc)``.
+
+    No tracing happens — the artifact goes straight to (persistently
+    cached) XLA compilation on first call.
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            blob = fh.read()
+    exported = jax_export.deserialize(blob)
+    return exported.call

@@ -1,0 +1,70 @@
+"""AOT solver artifacts: export -> serialize -> reload -> parity."""
+
+import numpy as np
+import pytest
+
+import pockit_tpu.lobatto as lobatto
+from pockit_tpu.optimizer import ipm
+from pockit_tpu.optimizer._common import preprocess
+from pockit_tpu.solver import IPOptions
+from pockit_tpu.utils import load_batch_solver, save_batch_solver
+
+
+def _lqr():
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(6, 7)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    return system, phase
+
+
+def test_aot_roundtrip_matches_live_solve(tmp_path):
+    system, phase = _lqr()
+    guess = lobatto.constant_guess(phase, 0)
+    x0, _ = preprocess(system, [guess, [0.0]])
+    B = 8
+    rng = np.random.default_rng(0)
+    bc = np.tile(np.asarray(system.compiled.phases[0].fixed_vals), (B, 1))
+    bc[:, 0] = rng.uniform(0.5, 1.5, B)
+    opts = IPOptions(tol=1e-9)
+
+    path = tmp_path / "lqr_b8.pockit_aot"
+    save_batch_solver(path, system, B, opts)
+    assert path.stat().st_size > 0
+
+    call = load_batch_solver(path)
+    res_aot = call(np.tile(x0, (B, 1)), bc)
+
+    res_live = ipm.solve_batch(
+        system, np.tile(x0, (B, 1)), bc_overrides=(bc,), optimizer_options=opts
+    )
+    assert np.all(np.asarray(res_aot.status) == 0)
+    np.testing.assert_allclose(
+        np.asarray(res_aot.obj), np.asarray(res_live.obj), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(np.asarray(res_aot.z), np.asarray(res_live.z))
+
+    # bytes round-trip without touching disk
+    blob = path.read_bytes()
+    call2 = load_batch_solver(blob)
+    res2 = call2(np.tile(x0, (B, 1)), bc)
+    np.testing.assert_array_equal(np.asarray(res2.z), np.asarray(res_aot.z))
+
+
+def test_aot_rejects_wrong_batch_shape(tmp_path):
+    system, phase = _lqr()
+    guess = lobatto.constant_guess(phase, 0)
+    x0, _ = preprocess(system, [guess, [0.0]])
+    path = tmp_path / "b4.pockit_aot"
+    save_batch_solver(path, system, 4, IPOptions(tol=1e-9))
+    call = load_batch_solver(path)
+    bc = np.tile(np.asarray(system.compiled.phases[0].fixed_vals), (8, 1))
+    with pytest.raises(Exception):
+        call(np.tile(x0, (8, 1)), bc)  # artifact pinned to B=4

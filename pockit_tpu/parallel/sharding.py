@@ -45,7 +45,7 @@ def make_sharded_batch_solver(
     if options is None:
         options = default_options()
     block = None
-    if options.kkt_solver in ("auto", "block"):
+    if options.kkt_solver in ("auto", "block", "pallas"):
         from pockit_tpu.transcription.kkt import make_block_kkt
 
         block = make_block_kkt(compiled.system)

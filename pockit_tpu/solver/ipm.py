@@ -645,6 +645,11 @@ def make_ip_solver(
                         jnp.linalg.norm(dz_t) <= step_cap
                     )
                     dz = jnp.where(ok_t & reg_ok, dz_t, dz)
+                    # a failed CG correction leaves a direction that
+                    # ignores the low-rank coupling — don't let it pass as
+                    # a clean Newton step (reg_ok drives the LM-style
+                    # regularization memory via newton_ok)
+                    reg_ok = reg_ok & ok_t
             elif use_block:
 
                 def lin_apply(fac, b):

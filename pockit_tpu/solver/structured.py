@@ -61,23 +61,41 @@ def structured_layout(system) -> Optional[StructuredLayout]:
     integral symbols — are counted into ``krylov_rank`` and handled by
     pattern-preconditioned CG in the solve.
     """
+    # Discrepancy-rank budget for the pattern-preconditioned CG. With the
+    # block assembly weighting each integral's pointwise Hessian by
+    # alpha_j = dPhi/dI_j at the CURRENT (I(z), s, y_sys) and placing
+    # d2Phi/ds2 into K_rr (transcription/kkt.py), the remaining
+    # out-of-pattern/unassembled discrepancy is
+    #     B^T H_II B + B^T H_Is S + (B^T H_Is S)^T + J_sys^T D J_sys
+    # with B = dI/dz — rank <= n_I_involved + n_s_coupled + n_sys_rows.
+    # Both Hessian pieces must be detected across ALL exprs (objective AND
+    # system rows) and across phases: I_a * I_b with a, b in different
+    # phases couples their blocks just as hard as within one phase.
     krylov_rank = 0
-    # objective nonlinear in integral symbols -> rank <= total n_I
-    expr = sp.sympify(system._expr_objective)
-    nonlin_I = False
-    for p in system.p:
-        for I_sym in p.I:
-            if sp.diff(expr, I_sym, 2) != 0:
-                nonlin_I = True
-            for other in p.I:
-                if other is not I_sym and sp.diff(expr, I_sym, other) != 0:
-                    nonlin_I = True
-    if nonlin_I:
-        krylov_rank += sum(p.n_I for p in system.p)
-    # each system-constraint row adds one dense row/column pair plus a
-    # rank-<=n_I Hessian coupling; bound it by n_c + n_I
-    if system.n_c > 0:
-        krylov_rank += system.n_c + sum(p.n_I for p in system.p)
+    all_I = [I_sym for p in system.p for I_sym in p.I]
+    s_syms = list(system.s)
+    exprs = [sp.sympify(system._expr_objective)] + [
+        sp.sympify(c) for c in system.expr_system_constraint
+    ]
+    I_involved = set()
+    s_coupled = set()
+    for e in exprs[1:]:
+        # a system row's Jacobian couples every integral it touches
+        for a in all_I:
+            if sp.diff(e, a) != 0:
+                I_involved.add(a)
+    for e in exprs:
+        for ia, a in enumerate(all_I):
+            for b in all_I[ia:]:
+                if sp.diff(e, a, b) != 0:
+                    I_involved.add(a)
+                    I_involved.add(b)
+            for sk in s_syms:
+                if sp.diff(e, a, sk) != 0:
+                    I_involved.add(a)
+                    s_coupled.add(sk)
+    krylov_rank += len(I_involved) + len(s_coupled)
+    krylov_rank += system.n_c  # dense system-constraint Jacobian rows
 
     interior_blocks = []
     reduced = []

@@ -36,12 +36,17 @@ interval blocks) is handled by half-weighting the shared rows' D and
 lambda in each copy — the two copies are identical rows, so the sum
 restores the exact single-row contribution.
 
-Couplings that do NOT fit the pattern — system-constraint rows and
-objective terms nonlinear in the integrals — are deliberately left out of
-the assembly; the solver removes the resulting low-rank discrepancy with
-pattern-preconditioned CG against a matrix-free ``K @ v`` (HVP + J
-products), so solves remain exact. ``layout.krylov_rank`` bounds the
-discrepancy rank.
+The Lagrangian head ``Phi = fct_o F_o(I, s) + y_sys . c_sys(I, s)``
+(objective plus system-constraint rows, both functions of the integrals
+and statics only) is split exactly: the in-pattern shares — ``dPhi/dI_j``
+at the CURRENT ``(I(z), s, y_sys)`` weighting each integrand's pointwise
+Hessian, and ``d2Phi/ds2`` on the statics block — are assembled; what
+remains, ``B^T (d2Phi/dI2) B`` with ``B = dI/dz``, the I-s cross blocks,
+and ``J_sys^T D J_sys``, is exactly low-rank and the solver removes it
+with pattern-preconditioned CG against a matrix-free ``K @ v`` (HVP + J
+products), so solves remain exact. ``layout.krylov_rank`` bounds that
+rank (current-point weighting is what makes the remainder low-rank for
+objectives/system rows nonlinear in the integrals).
 
 Reference analog: the easyderiv sparse index machinery
 (``/root/reference/pockit/base/easyderiv.py:111-459``) composing only
@@ -88,6 +93,7 @@ class BlockKKT(NamedTuple):
     n_blocks: int
     assemble: Callable
     assemble_ad: Callable = None
+    integrals: Callable = None
 
 
 def _phase_interval_data(system, pi: int, row0: int):
@@ -230,15 +236,21 @@ def _phase_interval_data(system, pi: int, row0: int):
         func_mask=func_mask,
         func_slot=func_slot,
         func_fns=func_fns,
+        n_fixed=n_fixed,
     )
 
 
-def _make_subst(n_loc, n_s, func_fns):
+def _make_subst(n_loc, n_s, func_fns, n_fixed):
     """Runtime substitution of FIXED (from the bc vector) and FUNC (from
     the statics) boundary entries into the local vector."""
 
     def subst(z_loc, fm, fsl, qm, qsl, bc):
-        z_loc = jnp.where(fm, bc[fsl], z_loc)
+        if n_fixed:
+            # guard: with zero FIXED slots the runtime bc vector is empty
+            # and the gather bc[fsl] would be out of range at trace time
+            # (all-FUNC/FREE boundary phases, e.g. statics-linked interior
+            # phases of multi-phase chains)
+            z_loc = jnp.where(fm, bc[fsl], z_loc)
         if func_fns:
             s_loc = z_loc[n_loc - n_s :]
             vals = jnp.stack([fn(list(s_loc)) for fn in func_fns])
@@ -248,38 +260,23 @@ def _make_subst(n_loc, n_s, func_fns):
     return subst
 
 
-def _make_a_of_s(system, ph):
-    """Objective weights dF/dI_j at I = 0 as a function of the statics
-    (exact for linear-in-I objectives; otherwise the preconditioner's
-    linearization — the nonlinear remainder is the CG discrepancy)."""
-    p = ph["phase"]
-    n_s = ph["n_s"]
-    n_I_total = int(sum(q.n_I for q in system.p))
-    l_i = int(system.l_i[ph["pi"]]) if p.n_I else 0
-
-    def a_of_s(s, dtype):
-        if not p.n_I:
-            return jnp.zeros((0,), dtype)
-
-        def F_at(I_vec):
-            args = [I_vec[j] for j in range(n_I_total)] + [
-                s[k] for k in range(n_s)
-            ]
-            return jnp.asarray(system.F_o(args)).reshape(())
-
-        a_all = jax.grad(F_at)(jnp.zeros((n_I_total,), dtype))
-        return a_all[l_i : l_i + p.n_I]
-
-    return a_of_s
-
-
 def _make_interval_fns(system, ph):
-    """Whole-interval ``rows(z_loc, bc)`` and ``lag(z_loc, lam, bc,
-    fct_o)`` closures — the AD-oracle path (vmapped later).
+    """Whole-interval ``rows``, ``lag`` and ``ivals`` closures — the
+    AD-oracle path plus the per-interval integral evaluation (vmapped
+    later).
 
     FIXED values are substituted from the runtime ``bc`` vector and FUNC
     values are computed from the statics *inside* the local vector so the
     chain rule through both is visible to interval-local AD.
+
+    ``lag`` takes ``alpha`` — the integral weights ``dPhi/dI_j`` of the
+    full Lagrangian head ``Phi = fct_o F_o + y_sys . c_sys`` evaluated at
+    the CURRENT ``(I(z), s)`` — as a CONSTANT: the second-order terms it
+    deliberately omits (``B^T d2Phi/dI2 B`` and the I-s cross blocks) are
+    exactly the low-rank CG discrepancy counted by
+    ``structured_layout.krylov_rank``. Weighting with current-point alpha
+    (rather than ``dF/dI`` at I=0) is what keeps the remainder low-rank
+    for objectives/system rows nonlinear in the integrals.
     """
     p = ph["phase"]
     n_x, n_u, n_s = ph["n_x"], ph["n_u"], ph["n_s"]
@@ -288,8 +285,7 @@ def _make_interval_fns(system, ph):
     i_t0 = n_loc - n_s - 2
     i_tf = n_loc - n_s - 1
 
-    a_of_s = _make_a_of_s(system, ph)
-    subst = _make_subst(n_loc, n_s, ph["func_fns"])
+    subst = _make_subst(n_loc, n_s, ph["func_fns"], ph["n_fixed"])
 
     def split(z_sub):
         s = z_sub[n_loc - n_s :] if n_s else jnp.zeros((0,), z_sub.dtype)
@@ -324,28 +320,34 @@ def _make_interval_fns(system, ph):
             jnp.concatenate(out) if out else jnp.zeros((0,), z_loc.dtype)
         )
 
-    def lag(z_loc, Tb, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, fct_o):
+    def ivals(z_loc, tau_i, w_i, fm, fsl, qm, qsl, bc):
+        """This interval's contribution to the phase integrals (n_I,)."""
+        if not p.n_I:
+            return jnp.zeros((0,), z_loc.dtype)
+        z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
+        xs, us, t0, tf, s = split(z_sub)
+        args = args_of(xs, us, t0, tf, s, tau_i)
+        return jnp.stack([fI(args) @ w_i for fI in p.F_I]) * (tf - t0)
+
+    def lag(z_loc, Tb, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, alpha):
         out = rows(z_loc, Tb, Ib, tau_i, fm, fsl, qm, qsl, bc) @ lam_i
         if p.n_I:
-            z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
-            xs, us, t0, tf, s = split(z_sub)
-            args = args_of(xs, us, t0, tf, s, tau_i)
-            I_part = jnp.stack([fI(args) @ w_i for fI in p.F_I]) * (tf - t0)
-            out = out + fct_o * (a_of_s(s, z_loc.dtype) @ I_part)
+            out = out + alpha @ ivals(z_loc, tau_i, w_i, fm, fsl, qm, qsl, bc)
         return out
 
-    return rows, lag
+    return rows, lag, ivals
 
 
 def _make_pointwise_m(system, ph):
     """Per-interval M = W + J^T diag(D) J from pointwise AD.
 
     Returns ``interval_M(z_loc, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc,
-    lam_i, D_i, fct_o) -> (n_loc, n_loc)`` built so that every AD pass
+    lam_i, D_i, alpha) -> (n_loc, n_loc)`` built so that every AD pass
     runs on per-collocation-point functions of ``n_pt = n_x + n_u + 2 +
     n_s`` arguments; the interval structure enters through static
     operators (translation block, integration-block einsum, index
-    scatters) only.
+    scatters) only. ``alpha`` is the constant current-point integral
+    weight vector (see :func:`_make_interval_fns`).
     """
     p = ph["phase"]
     n_x, n_u, n_s = ph["n_x"], ph["n_u"], ph["n_s"]
@@ -359,8 +361,7 @@ def _make_pointwise_m(system, ph):
     n_pt = n_x + n_u + 2 + n_s
     n_f = n_x + n_c
 
-    a_of_s = _make_a_of_s(system, ph)
-    subst = _make_subst(n_loc, n_s, func_fns)
+    subst = _make_subst(n_loc, n_s, func_fns, ph["n_fixed"])
 
     # static point-arg -> local-column map
     cm = np.empty((pts_u, n_pt), dtype=np.int64)
@@ -394,7 +395,7 @@ def _make_pointwise_m(system, ph):
         t_mid = (tq - 0.5) * (tfq - t0q) + (tfq + t0q) / 2
         return xs + us + [t_mid] + sq, t0q, tfq
 
-    def interval_M(z_loc, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, D_i, fct_o):
+    def interval_M(z_loc, Ib, tau_i, w_i, fm, fsl, qm, qsl, bc, lam_i, D_i, alpha):
         dtype = z_loc.dtype
         z_sub = subst(z_loc, fm, fsl, qm, qsl, bc)
         t0, tf = z_sub[i_t0], z_sub[i_tf]
@@ -428,9 +429,10 @@ def _make_pointwise_m(system, ph):
                 fc = jnp.stack([fcf(args) for fcf in p.F_c])
                 val = val + lpq @ fc
             if n_I:
-                sv = pv[n_x + n_u + 2 :]
                 fI = jnp.stack([fi(args) for fi in p.F_I])
-                val = val + fct_o * dt * wq * (a_of_s(sv, dtype) @ fI)
+                # alpha is a CONSTANT here (current-point dPhi/dI): its
+                # variation with (I, s) is the CG discrepancy by design
+                val = val + dt * wq * (alpha @ fI)
             return val
 
         def psi(pv, tq):
@@ -581,20 +583,42 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
         s_red_pos = np.zeros((0,), dtype=np.int64)
     n_I_total = int(sum(p.n_I for p in system.p))
     F_o = system.F_o
+    F_c_sys = list(system.F_c)
+    # per-phase integral offsets into the global I vector
+    l_i_of = [int(system.l_i[pi]) if p.n_I else 0 for pi, p in enumerate(system.p)]
 
-    def hss_of_s(s, fct_o, dtype):
-        """fct_o * d2/ds2 F(I=0, s) — the objective share outside every
-        interval block."""
-        if not n_s:
-            return jnp.zeros((0, 0), dtype)
+    def _Phi(I_vec, s_vec, y_sys, fct_o, dtype):
+        """Lagrangian head: fct_o * F_o(I, s) + y_sys . c_sys(I, s)."""
+        args = [I_vec[j] for j in range(n_I_total)] + [
+            s_vec[k] for k in range(n_s)
+        ]
+        val = fct_o * jnp.asarray(F_o(args)).reshape(())
+        for r, fc in enumerate(F_c_sys):
+            val = val + y_sys[r] * jnp.asarray(fc(args)).reshape(())
+        return val
 
-        def g(s_vec):
-            args = [jnp.zeros((), dtype)] * n_I_total + [
-                s_vec[k] for k in range(n_s)
-            ]
-            return jnp.asarray(F_o(args)).reshape(())
+    def phi_weights(I_vec, s, y_sys, fct_o, dtype):
+        """(alpha, H_ss) of the Lagrangian head at the CURRENT point.
 
-        return fct_o * jax.hessian(g)(s)
+        ``alpha = dPhi/dI`` weights the in-pattern integrand Hessians;
+        ``H_ss = d2Phi/ds2`` is the reduced-block statics share. The
+        remaining second-order terms (B^T H_II B and the I-s cross
+        blocks, B = dI/dz) are the low-rank CG discrepancy counted by
+        ``structured_layout.krylov_rank`` — weighting at the current
+        point (not I=0) is what makes that remainder exactly low-rank
+        for objectives/system rows nonlinear in the integrals.
+        """
+        alpha = (
+            jax.grad(lambda Iv: _Phi(Iv, s, y_sys, fct_o, dtype))(I_vec)
+            if n_I_total
+            else jnp.zeros((0,), dtype)
+        )
+        H_ss = (
+            jax.hessian(lambda sv: _Phi(I_vec, sv, y_sys, fct_o, dtype))(s)
+            if n_s
+            else jnp.zeros((0, 0), dtype)
+        )
+        return alpha, H_ss
 
     # per-phase traced closures: pointwise (production) and whole-interval
     # AD (oracle)
@@ -628,9 +652,37 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
     interior_pad = np.asarray(layout.interior, dtype=np.int64)
 
-    def _m_pointwise(ph, ifn, cst, z_loc, bc, lam_b, D_b, fct_o):
+    def integrals(z, rt):
+        """Current values of every phase integral, (n_I_total,) in global
+        integral order — one pointwise forward pass per phase."""
+        dtype = z.dtype
+        if not n_I_total:
+            return jnp.zeros((0,), dtype)
+        I_parts = [jnp.zeros((0,), dtype)]
+        for ph, fns3, cst in zip(phases, fns_ad, consts):
+            if not ph["phase"].n_I:
+                continue
+            ivals_fn = fns3[2]
+            bc_p = jnp.asarray(rt["bc"][ph["pi"]], dtype)
+            iv = jax.vmap(
+                lambda zl, ta, wi, fm, fsl, qm, qsl: ivals_fn(
+                    zl, ta, wi, fm, fsl, qm, qsl, bc_p
+                )
+            )(
+                z[cst["local_cols"]],
+                cst["tau"],
+                cst["w"],
+                cst["fm"],
+                cst["fsl"],
+                cst["qm"],
+                cst["qsl"],
+            )
+            I_parts.append(jnp.sum(iv, axis=0))
+        return jnp.concatenate(I_parts)
+
+    def _m_pointwise(ph, ifn, cst, z_loc, bc, lam_b, D_b, alpha):
         def one(zl, Ib, ta, wi, fm, fsl, qm, qsl, li, di):
-            return ifn(zl, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, di, fct_o)
+            return ifn(zl, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, di, alpha)
 
         return jax.vmap(one)(
             z_loc,
@@ -645,12 +697,12 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
             D_b,
         )
 
-    def _m_ad(ph, fns, cst, z_loc, bc, lam_b, D_b, fct_o):
-        rows_fn, lag_fn = fns
+    def _m_ad(ph, fns, cst, z_loc, bc, lam_b, D_b, alpha):
+        rows_fn, lag_fn, _ = fns
 
         def hess_one(zl, Tb, Ib, ta, wi, fm, fsl, qm, qsl, li):
             f = lambda v: lag_fn(
-                v, Tb, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, fct_o
+                v, Tb, Ib, ta, wi, fm, fsl, qm, qsl, bc, li, alpha
             )
             return jax.jacfwd(jax.grad(f))(zl)
 
@@ -687,16 +739,32 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
             """(K_ii, K_ir, K_rr) of ``W + J^T diag(D) J`` on the pattern."""
             dtype = z.dtype
             fct_o = jnp.asarray(fct_o, dtype)
+            y_sys = y[:n_sys_rows] if n_sys_rows else jnp.zeros((0,), dtype)
+            s_glob = (
+                z[int(system.l_s) : int(system.r_s)]
+                if n_s
+                else jnp.zeros((0,), dtype)
+            )
+            # current integral values (one pointwise forward pass/phase),
+            # then the Lagrangian-head weights at the current point
+            I_vec = integrals(z, rt)
+            alpha_all, H_ss = phi_weights(I_vec, s_glob, y_sys, fct_o, dtype)
+
             K_ii_parts, K_ir_parts = [], []
             K_rr = jnp.zeros((nr, nr), dtype)
-            for ph, fns, cst in zip(phases, per_phase, consts):
+            for ph, fns, cst, l_i in zip(phases, per_phase, consts, l_i_of):
                 N = ph["N"]
                 z_loc = z[cst["local_cols"]]
                 bc = jnp.asarray(rt["bc"][ph["pi"]], dtype)
                 lam_b = y[cst["row_idx"]] * cst["row_w"]
                 D_b = D[cst["row_idx"]] * cst["row_w"]
+                alpha_ph = (
+                    alpha_all[l_i : l_i + ph["phase"].n_I]
+                    if ph["phase"].n_I
+                    else jnp.zeros((0,), dtype)
+                )
 
-                M = m_builder(ph, fns, cst, z_loc, bc, lam_b, D_b, fct_o)
+                M = m_builder(ph, fns, cst, z_loc, bc, lam_b, D_b, alpha_ph)
 
                 isel, rsel, rpos = cst["int_sel"], cst["red_sel"], cst["red_pos"]
                 bidx = jnp.arange(N)[:, None, None]
@@ -705,29 +773,22 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
                 M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
 
                 ni_p = isel.shape[1]
+                # interior block sizes are uniform across phases by
+                # construction (structured_layout returns None otherwise),
+                # so no cross-phase padding exists here
+                assert ni_p == ni_max, (ni_p, ni_max)
                 K_ir_p = jnp.zeros((N, ni_p, nr), dtype).at[
                     bidx, jnp.arange(ni_p)[None, :, None], rpos[:, None, :]
                 ].add(M_ir)
                 K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
-
-                if ni_p < ni_max:  # pad across phases; identity on padded diag
-                    pad = ni_max - ni_p
-                    K_ii_p = jnp.pad(K_ii_p, ((0, 0), (0, pad), (0, pad)))
-                    K_ii_p = K_ii_p + jnp.diag(
-                        jnp.concatenate(
-                            [jnp.zeros((ni_p,), dtype), jnp.ones((pad,), dtype)]
-                        )
-                    )
-                    K_ir_p = jnp.pad(K_ir_p, ((0, 0), (0, pad), (0, 0)))
                 K_ii_parts.append(K_ii_p)
                 K_ir_parts.append(K_ir_p)
 
             K_ii = jnp.concatenate(K_ii_parts, axis=0)
             K_ir = jnp.concatenate(K_ir_parts, axis=0)
             if n_s:
-                s = z[int(system.l_s) : int(system.r_s)]
                 K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
-                    hss_of_s(s, fct_o, dtype)
+                    H_ss
                 )
             return K_ii, K_ir, K_rr
 
@@ -740,4 +801,5 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
         n_blocks=n_blocks,
         assemble=_mk_assemble(_m_pointwise, fns_pt),
         assemble_ad=_mk_assemble(_m_ad, fns_ad),
+        integrals=integrals,
     )

@@ -107,3 +107,97 @@ def test_batched_block_path():
     np.testing.assert_allclose(
         np.asarray(res.obj), ref * bc[:, 0] ** 2, rtol=1e-6
     )
+
+
+def _isoperimetric():
+    """System constraint on a nonlinear-integrand integral: the in-pattern
+    y_sys * dc/dI * d2I/dz2 Lagrangian curvature must be assembled with
+    current-point weights (regression: the block path diverged here when
+    system rows were excluded from the assembly entirely)."""
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2, u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization(6, 8)
+    system.set_phase([phase])
+    system.set_system_constraint([phase.I[1]], [0.0], [0.4])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    guess = lobatto.constant_guess(phase, 0)
+    return system, [guess, [0.0]]
+
+
+def _cross_phase_objective():
+    """Objective coupling integrals of DIFFERENT phases (I_p0 * I_p1):
+    krylov_rank must count both (regression: cross-phase detection)."""
+    system = lobatto.System(0)
+    phases = []
+    for k in range(2):
+        ph = system.new_phase(["x"], ["u"])
+        (x,) = ph.x
+        (u,) = ph.u
+        ph.set_dynamics([-x + u])
+        ph.set_integral([x**2 + u**2])
+        ph.set_boundary_condition([1.0 if k == 0 else None], [None], float(k), float(k + 1))
+        ph.set_discretization(3, 6)
+        phases.append(ph)
+    system.set_phase(phases)
+    system.set_objective(phases[0].I[0] * phases[1].I[0])
+    guesses = [lobatto.constant_guess(ph, 0.5) for ph in phases]
+    return system, guesses
+
+
+@pytest.mark.parametrize(
+    "builder,obj_tol",
+    [(_isoperimetric, 1e-7), (_cross_phase_objective, 1e-7)],
+    ids=["isoperimetric", "cross-phase-objective"],
+)
+def test_block_matches_dense_lagrangian_head(builder, obj_tol):
+    """Lagrangian-head couplings (system rows / cross-phase integrals):
+    the block path must converge to the dense path's solution."""
+    system, guess = builder()
+    base = ipm.default_options()
+    dense = dataclasses.replace(base, kkt_solver="dense")
+    blockopts = dataclasses.replace(base, kkt_solver="block")
+
+    v_d, info_d = ipm.solve(system, guess, dense)
+    v_b, info_b = ipm.solve(system, guess, blockopts)
+    assert info_d["status"] == 0, info_d
+    assert info_b["status"] == 0, info_b
+    assert abs(info_d["obj_val"] - info_b["obj_val"]) < obj_tol
+
+    from pockit_tpu.solver.structured import structured_layout
+
+    assert structured_layout(system).krylov_rank > 0
+
+
+def test_block_path_all_func_boundaries():
+    """A phase with zero FIXED boundary slots (all FUNC/FREE) must build
+    and solve on the block path (regression: empty-bc gather crash)."""
+    import sympy as sp
+
+    system = lobatto.System(["c"])
+    (c,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + u**2])
+    # EVERY boundary slot is a FUNC of the static — zero FIXED slots, so
+    # the runtime bc vector is empty (the crashing configuration)
+    phase.set_boundary_condition([c], [2 * c], 0.1 * c, c)
+    phase.set_discretization(3, 6)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + (c - 1.0) ** 2)
+    guess = lobatto.constant_guess(phase, 1.0)
+
+    base = ipm.default_options()
+    blockopts = dataclasses.replace(base, kkt_solver="block")
+    v, info = ipm.solve(system, [guess, [1.0]], blockopts)
+    assert info["status"] == 0, info
+    dense = dataclasses.replace(base, kkt_solver="dense")
+    _, info_d = ipm.solve(system, [guess, [1.0]], dense)
+    assert abs(info["obj_val"] - info_d["obj_val"]) < 1e-9

@@ -3,8 +3,9 @@
 For every problem here, ``K = W(lam, fct_o) + J^T diag(D) J`` is computed
 two ways — dense (``compiled.hessian`` + ``compiled.jacobian``) and via
 ``make_block_kkt.assemble`` — and the block-arrow storage must gather to
-identical values. System rows are excluded from the blocked assembly by
-design (they are the CG discrepancy), so the dense oracle masks them.
+identical values after the dense oracle subtracts the analytic low-rank
+remainder the assembly leaves to the CG correction (whose rank must stay
+within ``layout.krylov_rank`` — asserted here).
 """
 
 import numpy as np
@@ -89,16 +90,59 @@ def _with_system_rows():
     return system
 
 
-def _dense_pattern_oracle(system, z, lam, D, fct_o, rt=None):
-    """Dense K with system rows masked out, gathered at pattern positions."""
+def _dense_pattern_oracle(system, ops, z, lam, D, fct_o, rt):
+    """Expected pattern matrix: the TRUE dense K minus the analytic
+    low-rank remainder the assembly deliberately leaves to the CG —
+
+        K_pattern = K_true - B^T H_II B - B^T H_Is S - (B^T H_Is S)^T
+                    - J_sys^T diag(D_sys) J_sys
+
+    with B = dI/dz, S the statics selector, and H the second derivatives
+    of the Lagrangian head Phi = fct_o*F_o + y_sys.c_sys at the current
+    (I(z), s). Also asserts rank(remainder) <= layout.krylov_rank."""
     compiled = system.compiled
     n_sys = compiled.n_sys_rows
-    mask = np.ones(compiled.m)
-    mask[:n_sys] = 0.0
-    W = np.asarray(compiled.hessian(z, lam * mask, fct_o))
+    L = compiled.L
+    W = np.asarray(compiled.hessian(z, lam, fct_o))
     J = np.asarray(compiled.jacobian(z))
-    K = W + (J.T * (D * mask)) @ J
-    return K
+    K = W + (J.T * D) @ J
+
+    n_I = int(sum(p.n_I for p in system.p))
+    n_s = system.n_s
+    l_s, r_s = int(system.l_s), int(system.r_s)
+    s_val = jnp.asarray(z[l_s:r_s])
+    y_sys = jnp.asarray(lam[:n_sys])
+
+    def Phi(I_vec, s_vec):
+        args = [I_vec[j] for j in range(n_I)] + [s_vec[k] for k in range(n_s)]
+        val = fct_o * jnp.asarray(system.F_o(args)).reshape(())
+        for r, fc in enumerate(system.F_c):
+            val = val + y_sys[r] * jnp.asarray(fc(args)).reshape(())
+        return val
+
+    remainder = np.zeros((L, L))
+    if n_I:
+        I_val = ops.integrals(jnp.asarray(z), rt)
+        B = np.asarray(jax.jacrev(lambda zz: ops.integrals(zz, rt))(jnp.asarray(z)))
+        H_II = np.asarray(jax.hessian(lambda Iv: Phi(Iv, s_val))(I_val))
+        remainder += B.T @ H_II @ B
+        if n_s:
+            H_sI = np.asarray(
+                jax.jacfwd(lambda sv: jax.grad(lambda Iv: Phi(Iv, sv))(I_val))(
+                    s_val
+                )
+            )  # (n_I, n_s)
+            cross = B.T @ H_sI  # (L, n_s)
+            remainder[:, l_s:r_s] += cross
+            remainder[l_s:r_s, :] += cross.T
+    if n_sys:
+        J_sys = J[:n_sys]
+        remainder += J_sys.T @ (D[:n_sys, None] * J_sys)
+
+    if remainder.any():
+        rank = np.linalg.matrix_rank(remainder, tol=1e-8)
+        assert rank <= ops.layout.krylov_rank, (rank, ops.layout.krylov_rank)
+    return K - remainder
 
 
 @pytest.mark.parametrize(
@@ -118,7 +162,7 @@ def test_block_assembly_matches_dense(builder):
     fct_o = 1.3
     rt = compiled.default_runtime()
 
-    K = _dense_pattern_oracle(system, z, lam, D, fct_o)
+    K = _dense_pattern_oracle(system, ops, z, lam, D, fct_o, rt)
 
     K_ii, K_ir, K_rr = jax.jit(
         lambda z_, y_, D_: ops.assemble(z_, y_, D_, rt, fct_o)

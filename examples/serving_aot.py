@@ -19,7 +19,7 @@ import numpy as np
 
 from pockit_tpu.lobatto import System, constant_guess
 from pockit_tpu.optimizer._common import preprocess
-from pockit_tpu.solver import IPOptions
+from pockit_tpu.optimizer.ipm import default_options
 from pockit_tpu.utils import load_batch_solver, save_batch_solver
 
 # -- the flagship LQR problem ------------------------------------------------
@@ -41,7 +41,9 @@ ARTIFACT = "/tmp/lqr_b256.pockit_aot"
 
 # -- build box: trace + lower once, ship the artifact ------------------------
 t0 = time.time()
-save_batch_solver(ARTIFACT, system, B, IPOptions(tol=1e-6))
+# dtype-appropriate tolerance (1e-8 in float64, 2e-5 in float32 — the
+# f32 TPU serving case cannot reach 1e-6)
+save_batch_solver(ARTIFACT, system, B, default_options())
 print(f"exported {os.path.getsize(ARTIFACT)/1e6:.1f} MB in {time.time()-t0:.1f}s")
 
 # -- serving box: deserialize (no tracing), solve sweeps ---------------------

@@ -21,7 +21,7 @@ import numpy as np
 from pockit_tpu.base.system import SystemBase
 from pockit_tpu.base.variable import VariableBase
 from pockit_tpu.optimizer._common import postprocess, preprocess
-from pockit_tpu.solver import Bounds, IPOptions, make_ip_solver
+from pockit_tpu.solver import Bounds, IPOptions, broadcast_bounds, make_ip_solver
 
 _STATUS_MSG = {
     0: b"Solve Succeeded (KKT error below tolerance).",
@@ -177,7 +177,7 @@ def solve_batch(
         rt = {"bc": tuple(jnp.asarray(v) for v in bc_overrides)}
 
     if bounds_override is None:
-        bounds = Bounds(*[jnp.broadcast_to(b, (B,) + b.shape) for b in bounds0])
+        bounds = broadcast_bounds(bounds0, B)
     else:
         bounds = bounds_override
 
@@ -260,10 +260,7 @@ def solve_batch_drained(
             def _drain_round(z_full, idx, bc_full_t, bounds):
                 zi = z_full[idx]
                 bci = tuple(v[idx] for v in bc_full_t)
-                Bd = idx.shape[0]
-                bounds_b = Bounds(
-                    *[jnp.broadcast_to(b, (Bd,) + b.shape) for b in bounds]
-                )
+                bounds_b = broadcast_bounds(bounds, idx.shape[0])
                 r = jax.vmap(solve_fn_d)(zi, bounds_b, {"bc": bci})
                 # duplicate indices (np.resize tiling) scatter identical
                 # rows, so the update is well-defined

@@ -2,6 +2,19 @@
 reference: ``/root/reference/pockit/optimizer/ipopt.py``)."""
 
 from pockit_tpu.solver.options import IPOptions
-from pockit_tpu.solver.ipm import make_ip_solver, IPResult, Bounds, summarize
+from pockit_tpu.solver.ipm import (
+    make_ip_solver,
+    IPResult,
+    Bounds,
+    broadcast_bounds,
+    summarize,
+)
 
-__all__ = ["IPOptions", "make_ip_solver", "IPResult", "Bounds", "summarize"]
+__all__ = [
+    "IPOptions",
+    "make_ip_solver",
+    "IPResult",
+    "Bounds",
+    "broadcast_bounds",
+    "summarize",
+]

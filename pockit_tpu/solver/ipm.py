@@ -59,6 +59,17 @@ class Bounds(NamedTuple):
     c_ub: jax.Array
 
 
+def broadcast_bounds(bounds: Bounds, batch_size: int) -> Bounds:
+    """Add a leading batch axis to every bounds field (the form the
+    vmapped solver expects)."""
+    return Bounds(
+        *[
+            jnp.broadcast_to(jnp.asarray(b), (batch_size,) + np.shape(b))
+            for b in bounds
+        ]
+    )
+
+
 class IPResult(NamedTuple):
     """Solver output. ``status``: 0 converged, 1 max-iter, 2 diverged,
     3 locally infeasible (restoration stalled with significant constraint

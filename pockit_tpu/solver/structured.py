@@ -79,11 +79,9 @@ def structured_layout(system) -> Optional[StructuredLayout]:
     ]
     I_involved = set()
     s_coupled = set()
-    for e in exprs[1:]:
-        # a system row's Jacobian couples every integral it touches
-        for a in all_I:
-            if sp.diff(e, a) != 0:
-                I_involved.add(a)
+    # NOTE first derivatives of system rows do NOT count: their dense
+    # Jacobian coupling is already bounded by the separate + n_c term, and
+    # the y_sys-weighted first-order curvature is assembled in-pattern
     for e in exprs:
         for ia, a in enumerate(all_I):
             for b in all_I[ia:]:

@@ -74,14 +74,14 @@ class BlockKKT(NamedTuple):
 
     - ``layout``: the :class:`StructuredLayout` (interior / reduced
       partition and the CG discrepancy rank).
-    - ``interior_pad``: (nb, ni_max) interior columns, padded with ``L``
-      (the phantom column — JAX drops out-of-bounds scatter indices and
-      gathers read from explicitly extended arrays).
+    - ``interior_pad``: (nb, ni_max) interior columns. Currently always
+      identical to ``layout.interior`` (structured_layout rejects ragged
+      interiors); the downstream factor/apply nevertheless tolerate the
+      phantom column ``L`` defensively.
     - ``assemble(z, y, D, rt, fct_o=1.0)``: returns ``(K_ii, K_ir,
       K_rr)`` of ``W + J^T diag(D) J`` restricted to the block-arrow
       pattern, computed from pointwise AD. ``sigma_z`` and ``delta_w``
-      diagonals are the solver's to add. Padded interior slots carry 1.0
-      on the diagonal.
+      diagonals are the solver's to add.
     - ``assemble_ad``: same contract, computed by whole-interval
       ``jacfwd(grad)`` / ``jacrev`` — the slow oracle the pointwise path
       is tested against.

@@ -8,4 +8,11 @@ from pockit_tpu.utils.aot import (
     load_batch_solver,
 )
 
-__all__ = ["save_solution", "load_solution", "profile_trace"]
+__all__ = [
+    "save_solution",
+    "load_solution",
+    "profile_trace",
+    "export_batch_solver",
+    "save_batch_solver",
+    "load_batch_solver",
+]

@@ -32,16 +32,20 @@ import numpy as np
 from jax import export as jax_export
 
 from pockit_tpu.solver import IPOptions
-from pockit_tpu.solver.ipm import IPResult
 
-# the artifact's output pytree contains IPResult; namedtuple pytree nodes
-# must be registered for serialization (idempotent per process)
-try:
-    jax_export.register_namedtuple_serialization(
-        IPResult, serialized_name="pockit_tpu.solver.ipm.IPResult"
-    )
-except ValueError:
-    pass
+
+def _register_result_type() -> None:
+    """The artifact's output pytree contains IPResult; namedtuple pytree
+    nodes must be registered for (de)serialization. Lazy + idempotent so
+    importing pockit_tpu.utils stays light."""
+    from pockit_tpu.solver.ipm import IPResult
+
+    try:
+        jax_export.register_namedtuple_serialization(
+            IPResult, serialized_name="pockit_tpu.solver.ipm.IPResult"
+        )
+    except ValueError:
+        pass
 
 
 def export_batch_solver(
@@ -57,15 +61,14 @@ def export_batch_solver(
     sweep). Bounds are baked in from the system configuration.
     """
     from pockit_tpu.optimizer.ipm import _solver_for
-    from pockit_tpu.solver import Bounds
+    from pockit_tpu.solver import broadcast_bounds
 
+    _register_result_type()
     compiled, solve_fn, bounds0 = _solver_for(system, optimizer_options)
     B = int(batch_size)
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
 
-    bounds_b = Bounds(
-        *[jnp.broadcast_to(jnp.asarray(b), (B,) + b.shape) for b in bounds0]
-    )
+    bounds_b = broadcast_bounds(bounds0, B)
 
     def f(z0_batch, *bc_batches):
         return jax.vmap(solve_fn)(z0_batch, bounds_b, {"bc": tuple(bc_batches)})
@@ -92,6 +95,7 @@ def load_batch_solver(path_or_bytes):
     No tracing happens — the artifact goes straight to (persistently
     cached) XLA compilation on first call.
     """
+    _register_result_type()
     if isinstance(path_or_bytes, (bytes, bytearray)):
         blob = bytes(path_or_bytes)
     else:

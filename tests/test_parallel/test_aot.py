@@ -46,16 +46,21 @@ def test_aot_roundtrip_matches_live_solve(tmp_path):
         system, np.tile(x0, (B, 1)), bc_overrides=(bc,), optimizer_options=opts
     )
     assert np.all(np.asarray(res_aot.status) == 0)
+    # the exported program bakes bounds in as constants while the live path
+    # passes them as arguments — XLA may fuse the two programs differently,
+    # so compare tightly rather than bit-exactly
     np.testing.assert_allclose(
-        np.asarray(res_aot.obj), np.asarray(res_live.obj), rtol=0, atol=0
+        np.asarray(res_aot.obj), np.asarray(res_live.obj), rtol=1e-12, atol=0
     )
-    np.testing.assert_array_equal(np.asarray(res_aot.z), np.asarray(res_live.z))
+    np.testing.assert_allclose(
+        np.asarray(res_aot.z), np.asarray(res_live.z), rtol=0, atol=1e-10
+    )
 
     # bytes round-trip without touching disk
     blob = path.read_bytes()
     call2 = load_batch_solver(blob)
     res2 = call2(np.tile(x0, (B, 1)), bc)
-    np.testing.assert_array_equal(np.asarray(res2.z), np.asarray(res_aot.z))
+    np.testing.assert_array_equal(np.asarray(res2.z), np.asarray(res_aot.z))  # same artifact: bitwise
 
 
 def test_aot_rejects_wrong_batch_shape(tmp_path):

@@ -98,17 +98,31 @@ def test_structured_matches_dense(builder):
 
 
 def test_layout_low_rank_and_rejects():
-    # nonlinear-in-I objective -> handled via Krylov rank
+    # nonlinear-in-I objective: I0 is Hessian-involved -> rank 1
     system, phase = _lqr()
     (x_f,) = system.s
     system.set_objective(phase.I[0] ** 2)
     layout = structured_layout(system)
     assert layout is not None and layout.krylov_rank == 1
-    # system constraint rows -> Krylov rank n_c + n_I
+    # a system row LINEAR in an integral: only its dense Jacobian row
+    # counts (the y_sys-weighted first-order curvature is assembled
+    # in-pattern at the current multipliers) -> rank n_c = 1
     system2, phase2 = _lqr()
     system2.set_system_constraint([phase2.I[0] * 2.0], [0.0], [10.0])
     layout2 = structured_layout(system2)
-    assert layout2 is not None and layout2.krylov_rank == 2
+    assert layout2 is not None and layout2.krylov_rank == 1
+    # a system row NONLINEAR in an integral adds the Hessian involvement
+    system2b, phase2b = _lqr()
+    system2b.set_system_constraint([phase2b.I[0] ** 2], [0.0], [10.0])
+    layout2b = structured_layout(system2b)
+    assert layout2b is not None and layout2b.krylov_rank == 2
+    # cross-phase and I-s couplings are counted (regression: the old scan
+    # was within-phase only)
+    system2c, phase2c = _lqr()
+    (x_fc,) = system2c.s
+    system2c.set_objective(phase2c.I[0] * x_fc)
+    layout2c = structured_layout(system2c)
+    assert layout2c is not None and layout2c.krylov_rank == 2  # I0 + x_f
     # non-uniform degrees: block sizes differ -> unsupported
     system3, phase3 = _lqr()
     phase3.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))

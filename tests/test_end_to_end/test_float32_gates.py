@@ -124,3 +124,34 @@ def test_f32_orbit_gate():
     out = _run(_ORBIT)
     assert out["status"] == 0
     assert out["r_f"] == pytest.approx(1.5253, abs=5e-3)
+
+
+_ISOPERIMETRIC = _PRELUDE + """
+# Lagrangian-head gate: a system constraint on a nonlinear-integrand
+# integral exercises the current-point alpha weighting and the f32
+# pattern-preconditioned CG correction on the default (block) path
+system = lobatto.System(["x_f"])
+(x_f,) = system.s
+phase = system.new_phase(["x"], ["u"])
+(x,) = phase.x
+(u,) = phase.u
+phase.set_dynamics([-x + u])
+phase.set_integral([x**2 + 0.1 * u**2, u**2])
+phase.set_boundary_condition([1], [x_f], 0, 1)
+phase.set_discretization(6, 8)
+system.set_phase([phase])
+system.set_system_constraint([phase.I[1]], [0.0], [0.4])
+system.set_objective(phase.I[0] + x_f**2 / 2)
+val, info = ipm.solve(system, [lobatto.constant_guess(phase, 0), [0.0]])
+print(json.dumps({"status": info["status"], "obj": info["obj_val"],
+                  "iters": info["iterations"]}))
+"""
+
+
+def test_f32_isoperimetric_gate():
+    out = _run(_ISOPERIMETRIC)
+    assert out["status"] == 0
+    # f64 reference for this configuration (dense and block paths agree):
+    # the energy bound binds, objective 0.2515982153412504
+    assert out["obj"] == pytest.approx(0.2515982153, abs=5e-5)
+    assert out["iters"] <= 40

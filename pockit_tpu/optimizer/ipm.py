@@ -59,9 +59,9 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
                 import warnings
 
                 warnings.warn(
-                    "structured KKT solver requested but the problem does "
-                    "not fit the block-arrow pattern (non-uniform interval "
-                    "degrees); falling back to the dense solver"
+                    "structured KKT solver requested but the problem has "
+                    "no interval-interior columns (degenerate tiny mesh); "
+                    "falling back to the dense solver"
                 )
         elif options.kkt_solver in ("auto", "block", "pallas"):
             from pockit_tpu.transcription.kkt import make_block_kkt
@@ -72,8 +72,8 @@ def _solver_for(system: SystemBase, options: Optional[IPOptions]):
 
                 warnings.warn(
                     f"{options.kkt_solver} KKT solver requested but the "
-                    "problem has non-uniform interval degrees; falling "
-                    "back to the dense solver"
+                    "problem has no interval-interior columns (degenerate "
+                    "tiny mesh); falling back to the dense solver"
                 )
         cache[options] = jax.jit(
             make_ip_solver(

@@ -46,21 +46,33 @@ class StructuredLayout(NamedTuple):
     the pattern is exact and one factor/apply pass solves K; r > 0 means
     the pattern factorization is used as a preconditioner for r + 2 CG
     steps, which eliminates a rank-r discrepancy exactly.
+
+    Ragged interiors (hp-refined meshes with per-interval degrees, or
+    phases of different degree) are padded at the END of each row with the
+    PHANTOM column ``n_cols`` (one past the last real column). Consumers
+    follow the phantom convention of :func:`make_block_arrow_core`:
+    gathers read a zero-extended vector, scatters drop the out-of-range
+    index, and the assembled blocks carry 1.0 on padded diagonal slots so
+    the factorization treats them as decoupled unit pivots.
     """
 
-    interior: np.ndarray  # (n_blocks, n_int) global column indices
+    interior: np.ndarray  # (n_blocks, ni_max) global column indices, padded
     reduced: np.ndarray  # (n_red,) global column indices (borders + arrow)
     krylov_rank: int = 0
+    n_cols: int = 0  # total real columns; doubles as the phantom index
 
 
 def structured_layout(system) -> Optional[StructuredLayout]:
     """Compute the block-arrow layout of a compiled system's KKT matrix.
 
-    Returns ``None`` only when interval degrees are non-uniform within a
-    phase (block sizes would differ). Dense low-rank couplings outside the
-    pattern — system-constraint rows and objective terms nonlinear in the
-    integral symbols — are counted into ``krylov_rank`` and handled by
-    pattern-preconditioned CG in the solve.
+    Ragged interval degrees (within a phase — hp-refined meshes — or
+    across phases) yield interior rows padded with the phantom column
+    (see :class:`StructuredLayout`). Returns ``None`` only when there is
+    no interior at all (every column is a border/arrow column — degenerate
+    tiny meshes where the dense path is the right tool anyway). Dense
+    low-rank couplings outside the pattern — system-constraint rows and
+    objective terms nonlinear in the integral symbols — are counted into
+    ``krylov_rank`` and handled by pattern-preconditioned CG in the solve.
     """
     # Discrepancy-rank budget for the pattern-preconditioned CG. With the
     # block assembly weighting each integral's pointwise Hessian by
@@ -101,8 +113,6 @@ def structured_layout(system) -> Optional[StructuredLayout]:
     for pi, p in enumerate(system.p):
         d = p.d
         off = int(system.l_p[pi])
-        if len(set(int(n) for n in d.num_point)) != 1:
-            return None  # non-uniform degrees: block sizes differ
         # per variable, per interval: interior vs border indices
         per_interval = [[] for _ in range(d.N)]
         for v in range(p.n):
@@ -130,25 +140,28 @@ def structured_layout(system) -> Optional[StructuredLayout]:
                         per_interval[i].append(base + k)
         # t_0, t_f are arrow columns
         reduced.extend([off + d.L - 2, off + d.L - 1])
-        sizes = {len(b) for b in per_interval}
-        if len(sizes) != 1:
-            return None
         interior_blocks.extend(per_interval)
 
     # statics tail
     reduced.extend(range(int(system.l_s), int(system.r_s)))
 
-    sizes = {len(b) for b in interior_blocks}
-    if len(sizes) != 1 or 0 in sizes:
-        return None
-    interior = np.array(interior_blocks, dtype=np.int32)
+    L = int(system.L)
+    ni_max = max((len(b) for b in interior_blocks), default=0)
+    if ni_max == 0:
+        return None  # no interior columns at all: dense is the right tool
+    # ragged blocks (hp-refined meshes, mixed-degree phases) pad at the
+    # END with the phantom column L — the make_block_arrow_core convention
+    interior = np.full((len(interior_blocks), ni_max), L, dtype=np.int32)
+    for k, b in enumerate(interior_blocks):
+        interior[k, : len(b)] = b
     reduced = np.array(sorted(reduced), dtype=np.int32)
-    # sanity: partition covers all columns exactly once
-    all_idx = np.concatenate([interior.ravel(), reduced])
-    if len(np.unique(all_idx)) != system.L or len(all_idx) != system.L:
+    # sanity: real (non-phantom) entries partition all columns exactly once
+    real = interior[interior < L]
+    all_idx = np.concatenate([real, reduced])
+    if len(np.unique(all_idx)) != L or len(all_idx) != L:
         return None
     return StructuredLayout(
-        interior=interior, reduced=reduced, krylov_rank=krylov_rank
+        interior=interior, reduced=reduced, krylov_rank=krylov_rank, n_cols=L
     )
 
 
@@ -389,15 +402,30 @@ def make_structured_factor(layout: StructuredLayout):
     ``K``."""
     interior = jnp.asarray(layout.interior)  # (nb, ni)
     reduced = jnp.asarray(layout.reduced)  # (nr,)
-    n = int(layout.interior.size + layout.reduced.size)
+    interior_np = np.asarray(layout.interior)
+    n = int(layout.n_cols) or int(
+        layout.interior.size + layout.reduced.size
+    )
+    pad_mask = interior_np >= n  # phantom slots of ragged layouts
+    has_pad = bool(pad_mask.any())
     core_factor, core_apply = make_block_arrow_core(
         layout.interior, layout.reduced, n
     )
 
     def factor(K):
+        if has_pad:
+            # phantom gathers must read 0 (a raw gather would CLAMP the
+            # out-of-range index to the last real column); padded diagonal
+            # slots then get the unit pivot the core expects
+            K = jnp.pad(K, ((0, 1), (0, 1)))
         K_ii = K[interior[:, :, None], interior[:, None, :]]  # (nb, ni, ni)
         K_ir = K[interior[:, :, None], reduced[None, None, :]]  # (nb, ni, nr)
         K_rr = K[reduced[:, None], reduced[None, :]]  # (nr, nr)
+        if has_pad:
+            K = K[:-1, :-1]
+            K_ii = K_ii + jnp.eye(K_ii.shape[-1], dtype=K.dtype) * jnp.asarray(
+                pad_mask, K.dtype
+            )[:, :, None]
         factors, p_min, p_max = core_factor(K_ii, K_ir, K_rr)
         return factors + (K,), p_min, p_max
 
@@ -468,6 +496,10 @@ def make_sharded_structured_solve(
         )
     interior_sh = np_.asarray(layout.interior).reshape(n_dev, nb // n_dev, ni)
     reduced = jnp.asarray(layout.reduced)
+    L_cols = int(layout.n_cols) or int(
+        layout.interior.size + layout.reduced.size
+    )
+    has_pad = bool((np_.asarray(layout.interior) >= L_cols).any())
 
     # same expander-avoidance policy as make_block_arrow_core: on TPU the
     # lax cholesky/triangular_solve numerics are batch-shape-dependent
@@ -500,6 +532,12 @@ def make_sharded_structured_solve(
         K_ii = K[my_interior[:, :, None], my_interior[:, None, :]]
         K_ir = K[my_interior[:, :, None], reduced[None, None, :]]
         b_i = rhs[my_interior]
+        if has_pad:
+            # K/rhs arrive zero-extended by one phantom row/col (see
+            # ``solve``); padded slots need the unit pivot before
+            # equilibration (a zero diagonal would nan the Cholesky)
+            pad = (my_interior >= L_cols).astype(K.dtype)
+            K_ii = K_ii + jnp.eye(ni, dtype=K.dtype) * pad[:, :, None]
 
         sc_i = jax.lax.rsqrt(
             jnp.maximum(jnp.diagonal(K_ii, axis1=1, axis2=2), 1e-30)
@@ -533,6 +571,12 @@ def make_sharded_structured_solve(
         return x
 
     def solve(K, rhs):
+        if has_pad:
+            # zero-extend so phantom gathers read 0 instead of clamping;
+            # phantom scatter writes land in the extra slot and are sliced
+            K = jnp.pad(K, ((0, 1), (0, 1)))
+            rhs = jnp.pad(rhs, ((0, 1),))
+            return _solve(jnp.asarray(interior_sh), K, rhs)[:-1]
         return _solve(jnp.asarray(interior_sh), K, rhs)
 
     return solve

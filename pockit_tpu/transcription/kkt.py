@@ -74,10 +74,11 @@ class BlockKKT(NamedTuple):
 
     - ``layout``: the :class:`StructuredLayout` (interior / reduced
       partition and the CG discrepancy rank).
-    - ``interior_pad``: (nb, ni_max) interior columns. Currently always
-      identical to ``layout.interior`` (structured_layout rejects ragged
-      interiors); the downstream factor/apply nevertheless tolerate the
-      phantom column ``L`` defensively.
+    - ``interior_pad``: (nb, ni_max) interior columns, identical to
+      ``layout.interior``. Ragged problems (hp-refined meshes, mixed
+      degrees) carry the phantom column ``L`` in the padded tail slots;
+      the factor/apply cores follow the phantom convention and the
+      assembled blocks carry unit pivots there.
     - ``assemble(z, y, D, rt, fct_o=1.0)``: returns ``(K_ii, K_ir,
       K_rr)`` of ``W + J^T diag(D) J`` restricted to the block-arrow
       pattern, computed from pointwise AD. ``sigma_z`` and ``delta_w``
@@ -96,8 +97,15 @@ class BlockKKT(NamedTuple):
     integrals: Callable = None
 
 
-def _phase_interval_data(system, pi: int, row0: int):
-    """Host-side static data for one phase's intervals.
+def _phase_interval_data(system, pi: int, row0: int, ivals=None):
+    """Host-side static data for a uniform-degree GROUP of one phase's
+    intervals (``ivals``; all intervals when ``None``).
+
+    hp-refined meshes carry per-interval degrees; callers bucket the
+    intervals by degree and build one group per bucket so every array
+    here stays rectangular (no point padding — padded collocation points
+    would evaluate user dynamics at arbitrary argument values, where
+    e.g. ``1/m`` terms produce non-finite garbage even at zero weight).
 
     Returns a dict with per-interval local column indices, constraint-row
     indices + weights, interval operators, and BC substitution tables.
@@ -105,8 +113,12 @@ def _phase_interval_data(system, pi: int, row0: int):
     p = system.p[pi]
     d = p.d
     off = int(system.l_p[pi])
-    n = int(d.num_point[0])
-    N = d.N
+    if ivals is None:
+        ivals = list(range(d.N))
+    degs = {int(d.num_point[i]) for i in ivals}
+    assert len(degs) == 1, f"mixed degrees in one group: {degs}"
+    n = degs.pop()
+    N = len(ivals)
     lob = d.family == "lobatto"
     n_x, n_u, n_s = p.n_x, p.n_u, system.n_s
     pts_x = n if lob else n + 1
@@ -122,7 +134,7 @@ def _phase_interval_data(system, pi: int, row0: int):
         lx, rx = d.l_x, d.r_x
         lu, ru = d.l_u, d.r_u
     local_cols = np.empty((N, n_loc), dtype=np.int64)
-    for i in range(N):
+    for bi, i in enumerate(ivals):
         c = []
         for v in range(n_x):
             base = off + int(d.l_v[v])
@@ -132,7 +144,7 @@ def _phase_interval_data(system, pi: int, row0: int):
             c.extend(range(base + int(lu[i]), base + int(ru[i])))
         c.extend([off + p.L - 2, off + p.L - 1])
         c.extend(range(int(system.l_s), int(system.r_s)))
-        local_cols[i] = c
+        local_cols[bi] = c
 
     # ---- constraint rows of each interval + sharing weights ----------
     # global constraint ordering: [system rows | per phase: dynamic rows
@@ -141,28 +153,30 @@ def _phase_interval_data(system, pi: int, row0: int):
 
     l_dr, _ = lr_nc(d.num_point - 1 if lob else d.num_point)
     L_d, L_m = int(d.L_d), int(d.L_m)
-    rows_i = n_x * dyn_rows + p.n_c * (int(d.r_m[0]) - int(d.l_m[0]))
+    rows_i = n_x * dyn_rows + p.n_c * pts_u
     row_idx = np.empty((N, rows_i), dtype=np.int64)
     row_w = np.ones((N, rows_i))
-    for i in range(N):
+    for bi, i in enumerate(ivals):
         rr = []
         for v in range(n_x):
             r0 = row0 + v * L_d + int(l_dr[i])
             rr.extend(range(r0, r0 + dyn_rows))
         pb = row0 + n_x * L_d
         pts = int(d.r_m[i]) - int(d.l_m[i])
+        assert pts == pts_u, (pts, pts_u)
         for c in range(p.n_c):
             r0 = pb + c * L_m + int(d.l_m[i])
             rr.extend(range(r0, r0 + pts))
             if lob:
                 # shared-border path rows appear in both adjacent blocks:
                 # half-weight each copy so their sum counts the row once
+                # (position in the PHASE, not the group, decides sharing)
                 k = n_x * dyn_rows + c * pts
                 if i > 0:
-                    row_w[i, k] = 0.5
-                if i < N - 1:
-                    row_w[i, k + pts - 1] = 0.5
-        row_idx[i] = rr
+                    row_w[bi, k] = 0.5
+                if i < d.N - 1:
+                    row_w[bi, k + pts - 1] = 0.5
+        row_idx[bi] = rr
 
     # ---- per-interval operators --------------------------------------
     from pockit_tpu.base.discretization import (
@@ -170,7 +184,7 @@ def _phase_interval_data(system, pi: int, row0: int):
         _translation_block,
     )
 
-    width = np.diff(d.mesh)
+    width = np.diff(d.mesh)[ivals]
     T_blk = np.broadcast_to(
         _translation_block(d.family, n), (N, dyn_rows, pts_x)
     ).copy()
@@ -179,10 +193,10 @@ def _phase_interval_data(system, pi: int, row0: int):
     # reference-cell nodes/weights of the interval, scaled into its cell
     tau = np.empty((N, pts_u))
     w_blk = np.empty((N, pts_u))
-    for i in range(N):
-        tau[i] = d.t_m[int(d.l_m[i]) : int(d.r_m[i])]
+    for bi, i in enumerate(ivals):
+        tau[bi] = d.t_m[int(d.l_m[i]) : int(d.r_m[i])]
         # w_m accumulates shared-border weights (LGL): rebuild per-interval
-        w_blk[i] = np.asarray(d.w_itv[i]) * width[i] / 2
+        w_blk[bi] = np.asarray(d.w_itv[i]) * width[bi] / 2
 
     # ---- boundary-condition substitution tables ----------------------
     # runtime FIXED values arrive via rt["bc"][pi], ordered like
@@ -214,6 +228,7 @@ def _phase_interval_data(system, pi: int, row0: int):
     return dict(
         phase=p,
         pi=pi,
+        ivals=np.asarray(ivals, dtype=np.int64),
         lob=lob,
         n=n,
         N=N,
@@ -516,16 +531,17 @@ def _make_pointwise_m(system, ph):
 def make_block_kkt(system) -> Optional[BlockKKT]:
     """Build the block-arrow KKT assembler for a configured system.
 
-    Returns ``None`` when the problem has non-uniform interval degrees
-    within a phase (block shapes would differ; callers fall back to the
-    dense path, mirroring :func:`structured_layout`).
+    Ragged interval degrees (hp-refined meshes, mixed-degree phases) are
+    handled by BUCKETING: each phase's intervals are grouped by degree,
+    every group keeps rectangular shapes, and group blocks embed into the
+    globally padded ``(n_blocks, ni_max, ·)`` storage with unit diagonals
+    on the phantom slots (the :func:`structured_layout` convention).
+    Returns ``None`` only when the layout itself is degenerate (no
+    interior columns at all).
     """
     layout = structured_layout(system)
     if layout is None:
         return None
-    for p in system.p:
-        if len(set(int(n) for n in p.d.num_point)) != 1:
-            return None
 
     L = int(system.L)
     n_s = system.n_s
@@ -533,28 +549,42 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
     reduced = layout.reduced
     nr = len(reduced)
     red_of = {int(c): k for k, c in enumerate(reduced)}
+    ni_max = layout.interior.shape[1]
 
-    phases = []
+    # one group per (phase, degree) bucket, preserving interval order
+    groups = []
     row0 = n_sys_rows
-    for pi, p in enumerate(system.p):
-        ph = _phase_interval_data(system, pi, row0)
-        phases.append(ph)
-        row0 += p.n_x * int(p.d.L_d) + p.n_c * int(p.d.L_m)
-
-    # map each phase's local columns onto (interior-of-own-block | reduced)
     b0 = 0
-    for ph in phases:
+    for pi, p in enumerate(system.p):
+        buckets: dict = {}
+        for i in range(p.d.N):
+            buckets.setdefault(int(p.d.num_point[i]), []).append(i)
+        for deg in sorted(buckets):
+            ph = _phase_interval_data(system, pi, row0, buckets[deg])
+            ph["block_ids"] = b0 + ph["ivals"]
+            groups.append(ph)
+        row0 += p.n_x * int(p.d.L_d) + p.n_c * int(p.d.L_m)
+        b0 += p.d.N
+    n_blocks = b0
+
+    # map each group's local columns onto (interior-of-own-block | reduced)
+    for ph in groups:
         N, n_loc = ph["N"], ph["n_loc"]
-        ni = layout.interior.shape[1]  # uniform across blocks by layout
+        # real (non-phantom) interior width of this group's blocks
+        blk0 = int(ph["block_ids"][0])
+        ni = int(np.sum(layout.interior[blk0] < L))
         int_sel = np.empty((N, ni), dtype=np.int64)
         red_sel_list = []
         red_pos_list = []
-        for i in range(N):
-            loc_of = {int(c): j for j, c in enumerate(ph["local_cols"][i])}
-            int_sel[i] = [loc_of[int(c)] for c in layout.interior[b0 + i]]
+        for bi, b in enumerate(ph["block_ids"]):
+            assert np.sum(layout.interior[b] < L) == ni, (
+                "interior width varies within a degree bucket"
+            )
+            loc_of = {int(c): j for j, c in enumerate(ph["local_cols"][bi])}
+            int_sel[bi] = [loc_of[int(c)] for c in layout.interior[b][:ni]]
             rs, rp = [], []
-            for j, c in enumerate(ph["local_cols"][i]):
-                if int(c) in red_of and j not in set(int_sel[i]):
+            for j, c in enumerate(ph["local_cols"][bi]):
+                if int(c) in red_of and j not in set(int_sel[bi]):
                     rs.append(j)
                     rp.append(red_of[int(c)])
             red_sel_list.append(rs)
@@ -564,13 +594,14 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
             "inconsistent reduced-column counts across intervals"
         )
         assert ni + n_red_loc == n_loc, (ni, n_red_loc, n_loc)
+        ph["ni"] = ni
         ph["int_sel"] = int_sel
         ph["red_sel"] = np.asarray(red_sel_list, dtype=np.int64)
         ph["red_pos"] = np.asarray(red_pos_list, dtype=np.int64)
-        ph["b0"] = b0
-        b0 += N
-    n_blocks = b0
-    ni_max = layout.interior.shape[1]
+    # the uniform case (one group per phase, in order) can concatenate
+    # group results; ragged cases scatter by block id
+    ids_concat = np.concatenate([ph["block_ids"] for ph in groups])
+    in_order = bool(np.array_equal(ids_concat, np.arange(n_blocks)))
 
     # statics' positions inside the reduced block (for the pure-statics
     # objective Hessian d2F/ds2(0, s))
@@ -584,8 +615,11 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
     n_I_total = int(sum(p.n_I for p in system.p))
     F_o = system.F_o
     F_c_sys = list(system.F_c)
-    # per-phase integral offsets into the global I vector
-    l_i_of = [int(system.l_i[pi]) if p.n_I else 0 for pi, p in enumerate(system.p)]
+    # per-GROUP integral offsets into the global I vector (the offset of
+    # the group's owning phase)
+    l_i_of = [
+        int(system.l_i[ph["pi"]]) if ph["phase"].n_I else 0 for ph in groups
+    ]
 
     def _Phi(I_vec, s_vec, y_sys, fct_o, dtype):
         """Lagrangian head: fct_o * F_o(I, s) + y_sys . c_sys(I, s)."""
@@ -620,17 +654,17 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
         )
         return alpha, H_ss
 
-    # per-phase traced closures: pointwise (production) and whole-interval
+    # per-group traced closures: pointwise (production) and whole-interval
     # AD (oracle)
-    fns_pt = [_make_pointwise_m(system, ph) for ph in phases]
-    fns_ad = [_make_interval_fns(system, ph) for ph in phases]
+    fns_pt = [_make_pointwise_m(system, ph) for ph in groups]
+    fns_ad = [_make_interval_fns(system, ph) for ph in groups]
 
     # HOST (numpy) constants, deliberately not jnp.asarray: device-resident
     # closure constants are fetched back to the host during MLIR lowering
     # (one blocking transfer each — ~2 s/array over the axon tunnel, ~40 s
     # of the solver's cold start). numpy constants embed directly.
     consts = []
-    for ph in phases:
+    for ph in groups:
         consts.append(
             dict(
                 local_cols=np.asarray(ph["local_cols"]),
@@ -654,13 +688,16 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
     def integrals(z, rt):
         """Current values of every phase integral, (n_I_total,) in global
-        integral order — one pointwise forward pass per phase."""
+        integral order — one pointwise forward pass per group. A ragged
+        phase's buckets each contribute their intervals' share, summed
+        into the phase's slots."""
         dtype = z.dtype
         if not n_I_total:
             return jnp.zeros((0,), dtype)
-        I_parts = [jnp.zeros((0,), dtype)]
-        for ph, fns3, cst in zip(phases, fns_ad, consts):
-            if not ph["phase"].n_I:
+        I_vec = jnp.zeros((n_I_total,), dtype)
+        for ph, fns3, cst, l_i in zip(groups, fns_ad, consts, l_i_of):
+            p_nI = ph["phase"].n_I
+            if not p_nI:
                 continue
             ivals_fn = fns3[2]
             bc_p = jnp.asarray(rt["bc"][ph["pi"]], dtype)
@@ -677,8 +714,8 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
                 cst["qm"],
                 cst["qsl"],
             )
-            I_parts.append(jnp.sum(iv, axis=0))
-        return jnp.concatenate(I_parts)
+            I_vec = I_vec.at[l_i : l_i + p_nI].add(jnp.sum(iv, axis=0))
+        return I_vec
 
     def _m_pointwise(ph, ifn, cst, z_loc, bc, lam_b, D_b, alpha):
         def one(zl, Ib, ta, wi, fm, fsl, qm, qsl, li, di):
@@ -752,7 +789,7 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
             K_ii_parts, K_ir_parts = [], []
             K_rr = jnp.zeros((nr, nr), dtype)
-            for ph, fns, cst, l_i in zip(phases, per_phase, consts, l_i_of):
+            for ph, fns, cst, l_i in zip(groups, per_phase, consts, l_i_of):
                 N = ph["N"]
                 z_loc = z[cst["local_cols"]]
                 bc = jnp.asarray(rt["bc"][ph["pi"]], dtype)
@@ -772,20 +809,35 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
                 M_ir = M[bidx, isel[:, :, None], rsel[:, None, :]]
                 M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
 
-                ni_p = isel.shape[1]
-                # interior block sizes are uniform across phases by
-                # construction (structured_layout returns None otherwise),
-                # so no cross-phase padding exists here
-                assert ni_p == ni_max, (ni_p, ni_max)
-                K_ir_p = jnp.zeros((N, ni_p, nr), dtype).at[
-                    bidx, jnp.arange(ni_p)[None, :, None], rpos[:, None, :]
+                ni_g = isel.shape[1]
+                K_ir_g = jnp.zeros((N, ni_g, nr), dtype).at[
+                    bidx, jnp.arange(ni_g)[None, :, None], rpos[:, None, :]
                 ].add(M_ir)
                 K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
+                if ni_g < ni_max:
+                    # ragged group: embed into the padded width with unit
+                    # pivots on the phantom diagonal slots (the factor
+                    # cores treat them as decoupled 1x1 blocks)
+                    pad = ni_max - ni_g
+                    K_ii_p = jnp.pad(K_ii_p, ((0, 0), (0, pad), (0, pad)))
+                    pad_eye = np.concatenate(
+                        [np.zeros((ni_g,)), np.ones((pad,))]
+                    )
+                    K_ii_p = K_ii_p + jnp.asarray(np.diag(pad_eye), dtype)
+                    K_ir_g = jnp.pad(K_ir_g, ((0, 0), (0, pad), (0, 0)))
                 K_ii_parts.append(K_ii_p)
-                K_ir_parts.append(K_ir_p)
+                K_ir_parts.append(K_ir_g)
 
-            K_ii = jnp.concatenate(K_ii_parts, axis=0)
-            K_ir = jnp.concatenate(K_ir_parts, axis=0)
+            if in_order:
+                K_ii = jnp.concatenate(K_ii_parts, axis=0)
+                K_ir = jnp.concatenate(K_ir_parts, axis=0)
+            else:
+                # ragged phases: group block rows land at their block ids
+                K_ii = jnp.zeros((n_blocks, ni_max, ni_max), dtype)
+                K_ir = jnp.zeros((n_blocks, ni_max, nr), dtype)
+                for ph, kii_p, kir_p in zip(groups, K_ii_parts, K_ir_parts):
+                    K_ii = K_ii.at[ph["block_ids"]].set(kii_p)
+                    K_ir = K_ir.at[ph["block_ids"]].set(kir_p)
             if n_s:
                 K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
                     H_ss

@@ -102,3 +102,49 @@ def test_sharded_structured_unrolled_core():
         xs[method] = np.asarray(jax.jit(solve_sh)(jnp.asarray(K), jnp.asarray(rhs)))
         np.testing.assert_allclose(K @ xs[method], rhs, rtol=0, atol=1e-8)
     np.testing.assert_allclose(xs["unrolled"], xs["lax"], rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_structured_ragged():
+    """Ragged (phantom-padded) layout through the time-axis-sharded solve:
+    padded gathers read the zero extension, never clamp."""
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x", "v"], ["u"])
+    x, v = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([v, -x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1.0, 0.0], [x_f, None], 0.0, 1.0)
+    mesh_pts = np.linspace(0.0, 1.0, 9)
+    degs = np.array([5, 6, 5, 6, 5, 6, 5, 6])  # 8 intervals -> 1/device
+    phase.set_discretization(mesh_pts, degs)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+
+    layout = structured_layout(system)
+    assert layout is not None
+    assert (np.asarray(layout.interior) >= int(system.L)).any()
+
+    rng = np.random.default_rng(4)
+    compiled = system.compiled
+    z = rng.uniform(0.5, 1.2, system.L)
+    lam = rng.normal(0, 1, compiled.m)
+    W = np.asarray(compiled.hessian(z, lam, 1.0))
+    J = np.asarray(compiled.jacobian(z))
+    K = (
+        W
+        + np.diag(rng.uniform(0.1, 5.0, system.L))
+        + (J.T * rng.uniform(0.1, 10.0, compiled.m)) @ J
+    )
+    ev = np.linalg.eigvalsh(K)
+    if ev.min() < 1e-6:
+        K = K + (1e-3 - min(ev.min(), 0)) * np.eye(system.L)
+    rhs = rng.normal(size=system.L)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+    solve_sh = make_sharded_structured_solve(layout, mesh, "time")
+    x_sh = jax.jit(solve_sh)(jnp.asarray(K), jnp.asarray(rhs))
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.linalg.solve(K, rhs), rtol=1e-8, atol=1e-9
+    )

@@ -207,3 +207,66 @@ class TestSolverParity:
         np.testing.assert_allclose(
             np.asarray(res.obj), ref * bc[:, 0] ** 2, rtol=1e-6
         )
+
+
+def _lqr_ragged():
+    import pockit_tpu.lobatto as lobatto
+
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization([0, 0.3, 0.7, 1.0], [6, 8, 7])
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    guess = lobatto.constant_guess(phase, 0)
+    return system, [guess, [0.0]]
+
+
+class TestRaggedPallas:
+    def test_e2e_ragged_pallas_matches_dense(self):
+        """Phantom-padded (ragged hp-mesh) blocks through the fused
+        kernels: padded lanes must behave as decoupled unit pivots."""
+        import dataclasses
+
+        from pockit_tpu.optimizer import ipm
+
+        system, guess = _lqr_ragged()
+        base = ipm.default_options()
+        res = {}
+        for mode in ("dense", "pallas"):
+            opts = dataclasses.replace(base, kkt_solver=mode)
+            _, info = ipm.solve(system, guess, opts)
+            assert info["status"] == 0, mode
+            res[mode] = info
+        assert abs(res["pallas"]["obj_val"] - res["dense"]["obj_val"]) < 1e-8
+        np.testing.assert_allclose(
+            res["pallas"]["x"], res["dense"]["x"], atol=1e-6
+        )
+
+    def test_batched_ragged_pallas(self):
+        import dataclasses
+
+        from pockit_tpu.optimizer import ipm
+        from pockit_tpu.optimizer._common import preprocess
+
+        system, guess = _lqr_ragged()
+        x0, _ = preprocess(system, guess)
+        B = 8
+        x0b = np.tile(x0, (B, 1))
+        compiled = system.compiled
+        bc = np.tile(np.asarray(compiled.phases[0].fixed_vals), (B, 1))
+        bc[:, 0] = np.random.default_rng(0).uniform(0.5, 1.5, B)
+        opts = dataclasses.replace(ipm.default_options(), kkt_solver="pallas")
+        res = ipm.solve_batch(
+            system, x0b, bc_overrides=(bc,), optimizer_options=opts
+        )
+        assert np.all(np.asarray(res.status) == 0)
+        ref = np.asarray(res.obj)[0] / bc[0, 0] ** 2
+        np.testing.assert_allclose(
+            np.asarray(res.obj), ref * bc[:, 0] ** 2, rtol=1e-6
+        )

@@ -123,11 +123,17 @@ def test_layout_low_rank_and_rejects():
     system2c.set_objective(phase2c.I[0] * x_fc)
     layout2c = structured_layout(system2c)
     assert layout2c is not None and layout2c.krylov_rank == 2  # I0 + x_f
-    # non-uniform degrees: block sizes differ -> unsupported
+    # non-uniform degrees: padded (phantom-column) layout, not a rejection
     system3, phase3 = _lqr()
     phase3.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))
     system3.update()
-    assert structured_layout(system3) is None
+    layout3 = structured_layout(system3)
+    assert layout3 is not None
+    pad3 = np.asarray(layout3.interior) >= int(system3.L)
+    assert pad3.any() and not pad3[:, 0].any()  # padded, at the tail only
+    real3 = np.asarray(layout3.interior)[~pad3]
+    covered = np.concatenate([real3, np.asarray(layout3.reduced)])
+    assert len(np.unique(covered)) == int(system3.L) == len(covered)
 
 
 def test_pcg_handles_low_rank_coupling():
@@ -236,3 +242,24 @@ def test_unrolled_core_matches_lax():
         jnp.asarray(K_bad), jnp.asarray(K_ir), jnp.asarray(K_rr)
     )
     assert np.isnan(float(p_min))
+
+
+def test_structured_matches_dense_ragged():
+    """Dense-K structured solve on a RAGGED (phantom-padded) layout: the
+    padded gather must read zeros (not clamp) and carry unit pivots."""
+    system, phase = _lqr()
+    phase.set_discretization(np.array([0.0, 0.3, 0.7, 1.0]), np.array([6, 8, 7]))
+    system.update()
+    layout = structured_layout(system)
+    assert layout is not None
+    assert (np.asarray(layout.interior) >= int(system.L)).any()
+    K = _build_K(system)
+    assert float(pattern_violation(K, layout)) < 1e-10
+
+    rng = np.random.default_rng(5)
+    rhs = rng.normal(size=system.L)
+    solve = make_structured_solve(layout)
+    x, p_min, p_max = solve(K, rhs)
+    x_dense = np.linalg.solve(K, rhs)
+    np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-8, atol=1e-9)
+    assert float(p_min) > 0

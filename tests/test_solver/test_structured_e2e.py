@@ -80,8 +80,11 @@ def test_structured_with_system_constraint_row():
     assert info_s["obj_val"] == pytest.approx(info_d["obj_val"], abs=1e-8)
 
 
-def test_structured_falls_back_with_warning():
-    """Non-uniform interval degrees cannot use the structured path."""
+def test_structured_handles_ragged_degrees():
+    """Non-uniform interval degrees ride the structured path via phantom
+    padding (no dense fallback, no warning) and match the dense solve."""
+    import warnings
+
     system, phase = _orbit()
     phase.set_discretization(np.array([0.0, 0.4, 1.0]), np.array([6, 8]))
     system.update()
@@ -90,10 +93,17 @@ def test_structured_falls_back_with_warning():
     guess.x[1] = 0.1
     guess.x[2] = 1.0
     guess.u[0] = 0.5
-    with pytest.warns(UserWarning, match="block-arrow"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning is a failure
         _, info = ipm.solve(
             system,
             [guess, [1.5]],
             IPOptions(tol=1e-8, max_iter=200, kkt_solver="structured"),
         )
     assert info["status"] == 0
+    _, info_d = ipm.solve(
+        system,
+        [guess, [1.5]],
+        IPOptions(tol=1e-8, max_iter=200, kkt_solver="dense"),
+    )
+    assert abs(info["obj_val"] - info_d["obj_val"]) < 1e-9

@@ -74,6 +74,63 @@ def _two_phase():
     return system
 
 
+def _lqr_ragged():
+    """hp-refined-style mesh: per-interval degrees differ (LGL)."""
+    system = lobatto.System(["x_f"])
+    (x_f,) = system.s
+    phase = system.new_phase(["x"], ["u"])
+    (x,) = phase.x
+    (u,) = phase.u
+    phase.set_dynamics([-x + u])
+    phase.set_integral([x**2 + 0.1 * u**2])
+    phase.set_boundary_condition([1], [x_f], 0, 1)
+    phase.set_discretization([0, 0.25, 0.6, 1.0], [4, 7, 5])
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + x_f**2 / 2)
+    return system
+
+
+def _radau_ragged_messy():
+    """Ragged Radau mesh + path constraint + FUNC bc + nonlinear head."""
+    import sympy as sp
+
+    system = radau.System(["p"])
+    (p_,) = system.s
+    phase = system.new_phase(["x", "v"], ["u"])
+    x, v = phase.x
+    (u,) = phase.u
+    t = phase.t
+    phase.set_dynamics([v, sp.sin(u) + p_ * x + 0.1 * t])
+    phase.set_integral([x**2 + u**2, sp.cos(v)])
+    phase.set_phase_constraint([u + x * v], [-2.0], [2.0])
+    phase.set_boundary_condition([0.0, p_], [1.0, None], 0.0, None)
+    phase.set_discretization([0, 0.4, 1.0], [6, 4])
+    system.set_phase([phase])
+    system.set_objective(phase.I[0] + 0.3 * p_ * phase.I[1] + p_**4)
+    return system
+
+
+def _two_phase_mixed_degree():
+    """Phases of DIFFERENT uniform degree: cross-phase ragged blocks."""
+    system = lobatto.System(["s0"])
+    (s0,) = system.s
+    phases = []
+    for k, deg in enumerate([4, 6]):
+        ph = system.new_phase(["x"], ["u"])
+        (x,) = ph.x
+        (u,) = ph.u
+        ph.set_dynamics([-0.5 * x + (k + 1) * u])
+        ph.set_integral([x**2 + u**2])
+        ph.set_boundary_condition(
+            [1.0 if k == 0 else s0], [s0 if k == 0 else None], float(k), float(k + 1)
+        )
+        ph.set_discretization(3, deg)
+        phases.append(ph)
+    system.set_phase(phases)
+    system.set_objective(phases[0].I[0] + phases[1].I[0])
+    return system
+
+
 def _with_system_rows():
     system = radau.System(["a", "b"])
     a, b = system.s
@@ -145,9 +202,45 @@ def _dense_pattern_oracle(system, ops, z, lam, D, fct_o, rt):
     return K - remainder
 
 
+def _expected_blocks(K, layout):
+    """Gather the block-arrow pattern out of a dense K, phantom-aware:
+    padded slots read zero off-diagonal and carry the unit pivot the
+    factor cores expect on the diagonal."""
+    L = K.shape[0]
+    K_ext = np.zeros((L + 1, L + 1))
+    K_ext[:L, :L] = K
+    interior, reduced = layout.interior, layout.reduced
+    exp_ii = K_ext[interior[:, :, None], interior[:, None, :]]
+    exp_ir = K_ext[interior[:, :, None], reduced[None, None, :]]
+    pad = interior >= L
+    ni = interior.shape[1]
+    exp_ii = exp_ii * ~(pad[:, :, None] | pad[:, None, :]) + np.eye(ni)[
+        None
+    ] * pad[:, :, None]
+    exp_rr = K[np.ix_(reduced, reduced)]
+    return exp_ii, exp_ir, exp_rr
+
+
 @pytest.mark.parametrize(
-    "builder", [_lqr, _radau_messy, _two_phase, _with_system_rows],
-    ids=["lqr", "radau-messy", "two-phase", "system-rows"],
+    "builder",
+    [
+        _lqr,
+        _radau_messy,
+        _two_phase,
+        _with_system_rows,
+        _lqr_ragged,
+        _radau_ragged_messy,
+        _two_phase_mixed_degree,
+    ],
+    ids=[
+        "lqr",
+        "radau-messy",
+        "two-phase",
+        "system-rows",
+        "lqr-ragged",
+        "radau-ragged",
+        "mixed-degree-phases",
+    ],
 )
 def test_block_assembly_matches_dense(builder):
     system = builder()
@@ -169,19 +262,15 @@ def test_block_assembly_matches_dense(builder):
     )(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D))
     K_ii, K_ir, K_rr = map(np.asarray, (K_ii, K_ir, K_rr))
 
-    interior, reduced = layout.interior, layout.reduced
-    for b in range(interior.shape[0]):
+    exp_ii, exp_ir, exp_rr = _expected_blocks(K, layout)
+    for b in range(layout.interior.shape[0]):
         np.testing.assert_allclose(
-            K_ii[b], K[np.ix_(interior[b], interior[b])], atol=1e-9,
-            err_msg=f"K_ii block {b}",
+            K_ii[b], exp_ii[b], atol=1e-9, err_msg=f"K_ii block {b}"
         )
         np.testing.assert_allclose(
-            K_ir[b], K[np.ix_(interior[b], reduced)], atol=1e-9,
-            err_msg=f"K_ir block {b}",
+            K_ir[b], exp_ir[b], atol=1e-9, err_msg=f"K_ir block {b}"
         )
-    np.testing.assert_allclose(
-        K_rr, K[np.ix_(reduced, reduced)], atol=1e-9, err_msg="K_rr"
-    )
+    np.testing.assert_allclose(K_rr, exp_rr, atol=1e-9, err_msg="K_rr")
 
     if layout.krylov_rank == 0:
         # the pattern must then be exact: no dense K entries outside it
@@ -206,19 +295,32 @@ def test_runtime_bc_values_flow_into_blocks():
     K = W + (J.T * D) @ J
 
     K_ii, K_ir, K_rr = ops.assemble(jnp.asarray(z), jnp.asarray(lam), jnp.asarray(D), rt2)
-    interior, reduced = ops.layout.interior, ops.layout.reduced
-    np.testing.assert_allclose(
-        np.asarray(K_rr), K[np.ix_(reduced, reduced)], atol=1e-9
-    )
-    for b in range(interior.shape[0]):
-        np.testing.assert_allclose(
-            np.asarray(K_ii)[b], K[np.ix_(interior[b], interior[b])], atol=1e-9
-        )
+    exp_ii, _, exp_rr = _expected_blocks(K, ops.layout)
+    np.testing.assert_allclose(np.asarray(K_rr), exp_rr, atol=1e-9)
+    for b in range(ops.layout.interior.shape[0]):
+        np.testing.assert_allclose(np.asarray(K_ii)[b], exp_ii[b], atol=1e-9)
 
 
 @pytest.mark.parametrize(
-    "builder", [_lqr, _radau_messy, _two_phase, _with_system_rows],
-    ids=["lqr", "radau-messy", "two-phase", "system-rows"],
+    "builder",
+    [
+        _lqr,
+        _radau_messy,
+        _two_phase,
+        _with_system_rows,
+        _lqr_ragged,
+        _radau_ragged_messy,
+        _two_phase_mixed_degree,
+    ],
+    ids=[
+        "lqr",
+        "radau-messy",
+        "two-phase",
+        "system-rows",
+        "lqr-ragged",
+        "radau-ragged",
+        "mixed-degree-phases",
+    ],
 )
 def test_pointwise_matches_interval_ad(builder):
     """The production pointwise assembly must equal the whole-interval

@@ -995,8 +995,13 @@ def make_ip_solver(
                 good = acc_s & (th_s <= KAPPA_SOC * theta0)
                 return good, a_soc, dz_soc, ds_soc, ph_s, th_s, sw_s
 
-            soc_wanted = (~acc_1) & (th_1 >= theta0) & (m > 0)
-            if use_pallas:
+            soc_wanted = (~acc_1) & (th_1 >= theta0) & (m > 0) & opt.soc
+            if not opt.soc:
+                soc_good = jnp.asarray(False)
+                a_soc = one
+                dz_soc, ds_soc = dz, ds
+                sw_soc = jnp.asarray(False)
+            elif use_pallas:
                 # no lax.cond around the Pallas back-solve: cond batching
                 # would promote the closure-threaded factors to batched
                 # operands, which custom_vmap forbids. Under vmap the cond
@@ -1064,28 +1069,35 @@ def make_ip_solver(
                 _, _, ds_f = _expand(dz_f)
                 return dz_f, ds_f
 
-            dz_fb, ds_fb = _feas_dir()
-            a_fb_max = _ftb_primal(dz_fb, ds_fb)
+            if opt.feasibility_fallback:
+                dz_fb, ds_fb = _feas_dir()
+                a_fb_max = _ftb_primal(dz_fb, ds_fb)
 
-            def fb_cond(carry):
-                alpha_f, ok, k = carry
-                return (~ok) & (k < opt.max_ls)
+                def fb_cond(carry):
+                    alpha_f, ok, k = carry
+                    return (~ok) & (k < opt.max_ls)
 
-            def fb_body(carry):
-                alpha_f, _, k = carry
-                alpha_f = jnp.where(k == 0, a_fb_max, alpha_f * 0.5)
-                ph_t, th_t = _phi_theta(
-                    z + alpha_f * dz_fb, s + alpha_f * ds_fb, mu, rt
+                def fb_body(carry):
+                    alpha_f, _, k = carry
+                    alpha_f = jnp.where(k == 0, a_fb_max, alpha_f * 0.5)
+                    ph_t, th_t = _phi_theta(
+                        z + alpha_f * dz_fb, s + alpha_f * ds_fb, mu, rt
+                    )
+                    ok = (th_t < (1.0 - GAMMA_TH * 0.1) * theta0) & jnp.isfinite(
+                        ph_t
+                    )
+                    return alpha_f, ok, k + 1
+
+                a_fb, fb_ok, _ = lax.while_loop(
+                    fb_cond,
+                    fb_body,
+                    (a_fb_max, accepted | (theta0 <= 1e-14), 0),
                 )
-                ok = (th_t < (1.0 - GAMMA_TH * 0.1) * theta0) & jnp.isfinite(ph_t)
-                return alpha_f, ok, k + 1
-
-            a_fb, fb_ok, _ = lax.while_loop(
-                fb_cond,
-                fb_body,
-                (a_fb_max, accepted | (theta0 <= 1e-14), 0),
-            )
-            use_fb = (~accepted) & fb_ok & (theta0 > 1e-14)
+                use_fb = (~accepted) & fb_ok & (theta0 > 1e-14)
+            else:
+                dz_fb, ds_fb = dz, ds
+                a_fb = jnp.asarray(0.0, dtype)
+                use_fb = jnp.asarray(False)
             alpha = jnp.where(use_fb, a_fb, jnp.where(accepted, alpha, 0.0))
             dz_eff = jnp.where(use_fb, dz_fb, dz_eff)
             ds_eff = jnp.where(use_fb, ds_fb, ds_eff)

@@ -34,6 +34,13 @@ class IPOptions:
     s_max: float = 100.0  # KKT error scaling threshold
     # line search
     max_ls: int = 20  # backtracking steps
+    # second-order correction on the first rejected trial (IPOPT §2.4);
+    # disable to trade robustness on hard constraint curvature for one
+    # constraint evaluation + back-solve per iteration
+    soc: bool = True
+    # damped Gauss-Newton feasibility step when every line-search trial
+    # fails (restoration-lite); disable only for well-conditioned batches
+    feasibility_fallback: bool = True
     # regularization
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10

@@ -1,16 +1,19 @@
 """Homotopy continuation: warm-started stages reach a target that is
-reachable cold only with more iterations."""
+reachable cold only with more iterations; killed sweeps auto-resume from
+their stage checkpoint."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import pockit_tpu.lobatto as lobatto
 from pockit_tpu.optimizer import ipm
 from pockit_tpu.optimizer._common import preprocess
 from pockit_tpu.parallel import homotopy_sweep
+from pockit_tpu.parallel.homotopy import StageSummary
 
 
-def test_homotopy_sweep_lqr_bc_ramp():
+def _lqr_sweep_fixture():
     a, b, s_, q, r = -1, 1, 1, 1, 0.1
     system = lobatto.System(["x_f"])
     (x_f,) = system.s
@@ -29,19 +32,87 @@ def test_homotopy_sweep_lqr_bc_ramp():
     compiled = system.compiled
     B = 4
     base_bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
-
-    # ramp x(0) from 1 to [3, 4, 5, 6] in 4 stages
     targets = np.array([3.0, 4.0, 5.0, 6.0])
     stages = []
     for lam in np.linspace(0.25, 1.0, 4):
         bc = base_bc.copy()
         bc[:, 0] = 1.0 + lam * (targets - 1.0)
         stages.append((jnp.asarray(bc),))
+    return system, np.tile(x0, (B, 1)), stages, targets
+
+
+def test_homotopy_sweep_kill_restart(tmp_path):
+    system, guess_b, stages, targets = _lqr_sweep_fixture()
+    ck = str(tmp_path / "sweep.npz")
+
+    # uninterrupted reference run (no checkpointing)
+    ref = homotopy_sweep(system, guess_b, stages)
+
+    # run that dies after stage 1 (simulated kill: the exception escapes
+    # after the stage-1 checkpoint has been written)
+    class Killed(RuntimeError):
+        pass
+
+    def die_after_1(k, res):
+        if k == 1:
+            raise Killed
+
+    with pytest.raises(Killed):
+        homotopy_sweep(
+            system, guess_b, stages, on_stage=die_after_1, checkpoint_path=ck
+        )
+
+    # unattended restart: same call, no special arguments — stages 0-1 are
+    # restored from the checkpoint, stages 2-3 actually solve
+    solved = []
+    results = homotopy_sweep(
+        system,
+        guess_b,
+        stages,
+        on_stage=lambda k, res: solved.append(k),
+        checkpoint_path=ck,
+    )
+    assert solved == [2, 3]
+    assert isinstance(results[0], StageSummary)
+    assert isinstance(results[1], StageSummary)
+    assert results[1].z is not None and results[0].z is None
+    # restored summaries carry the stage outputs
+    np.testing.assert_allclose(
+        np.asarray(results[1].obj), np.asarray(ref[1].obj), rtol=1e-6
+    )
+    # final stage matches the uninterrupted sweep
+    assert np.all(np.asarray(results[-1].status) == 0)
+    np.testing.assert_allclose(
+        np.asarray(results[-1].obj), np.asarray(ref[-1].obj), rtol=1e-6
+    )
+
+    # a finished sweep resumes to a no-op
+    again = homotopy_sweep(
+        system,
+        guess_b,
+        stages,
+        on_stage=lambda k, res: solved.append(("again", k)),
+        checkpoint_path=ck,
+    )
+    assert solved == [2, 3]
+    assert all(isinstance(r, StageSummary) for r in again)
+
+    # a checkpoint from a DIFFERENT sweep is ignored, not resumed
+    other_stages = [stages[0]] * 2
+    with pytest.warns(UserWarning, match="fingerprint mismatch"):
+        fresh = homotopy_sweep(
+            system, guess_b, other_stages, checkpoint_path=ck
+        )
+    assert len(fresh) == 2 and not isinstance(fresh[0], StageSummary)
+
+
+def test_homotopy_sweep_lqr_bc_ramp():
+    system, guess_b, stages, targets = _lqr_sweep_fixture()
 
     seen = []
     results = homotopy_sweep(
         system,
-        np.tile(x0, (B, 1)),
+        guess_b,
         stages,
         on_stage=lambda k, res: seen.append(k),
     )

@@ -506,14 +506,46 @@ class PhaseBase:
             relative_tolerance_continuous,
             mesh_length_min,
         )
+        abs_err = np.abs(T_x - I_f)
+        ratio = np.zeros(self.N)
+        for i in range(self.N):
+            if ec[i]:
+                continue
+            a, b = self.l_m_aug[i], self.r_m_aug[i]
+            scale = 1.0 + np.abs(I_f[:, a:b]).max(axis=1, keepdims=True)
+            ratio[i] = float(np.max(abs_err[:, a:b] / scale))
+        return self._plan_continuous_from_stats(
+            ec,
+            ratio,
+            relative_tolerance_continuous,
+            num_point_min,
+            num_point_max,
+            mesh_length_min,
+            mesh_length_max,
+        )
 
+    def _plan_continuous_from_stats(
+        self,
+        ec,
+        ratio,
+        relative_tolerance_continuous,
+        num_point_min,
+        num_point_max,
+        mesh_length_min,
+        mesh_length_max,
+    ):
+        """Mesh-construction step of :meth:`plan_refine_continuous`, fed by
+        precomputed per-interval statistics (``ec``: per-interval pass
+        flags; ``ratio``: per-interval max scaled residual). Batched sweeps
+        compute those on device for all instances at once
+        (:mod:`pockit_tpu.transcription.error`) and call this per instance
+        with plain host scalars."""
         # Per-interval plan: each entry contributes (left borders, degrees).
         # Passing intervals are kept; failing intervals raise their degree by
         # the error-ratio log rule while it fits under num_point_max, and are
         # subdivided into minimum-degree pieces otherwise.
         borders: list[np.ndarray] = []
         degrees: list[np.ndarray] = []
-        abs_err = np.abs(T_x - I_f)
         for i in range(self.N):
             left, right = float(self._mesh[i]), float(self._mesh[i + 1])
             deg = int(self._num_point[i])
@@ -521,12 +553,9 @@ class PhaseBase:
                 borders.append(np.array([left]))
                 degrees.append(np.array([deg]))
                 continue
-            a, b = self.l_m_aug[i], self.r_m_aug[i]
-            scale = 1.0 + np.abs(I_f[:, a:b]).max(axis=1, keepdims=True)
-            ratio = float(np.max(abs_err[:, a:b] / scale))
             bump = max(
                 1,
-                int(np.ceil(np.log(ratio / relative_tolerance_continuous)
+                int(np.ceil(np.log(ratio[i] / relative_tolerance_continuous)
                             / np.log(deg))),
             )
             if deg + bump <= num_point_max:  # p-refine in place

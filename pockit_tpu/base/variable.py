@@ -240,19 +240,34 @@ class VariableBase:
         """Physical time at the control interpolation nodes."""
         return self._t_u * (self.t_f - self.t_0) + self.t_0
 
-    def adapt(self, phase):
+    def adapt_matrices(self, phase):
+        """The (V_x, V_u) interpolation matrices :meth:`adapt` applies.
+        They depend only on the source/target mesh layouts (normalized
+        node positions), not on this variable's values or time span — so
+        batched sweeps cache them per (old, new) mesh-signature pair and
+        re-use them across every instance in a bucket."""
+        span = self.t_f - self.t_0
+        return (
+            self.V_x(phase.t_x * span + self.t_0),
+            self.V_u(phase.t_u * span + self.t_0),
+        )
+
+    def adapt(self, phase, matrices=None):
         """Re-interpolate this solution onto a phase with a different mesh
         (warm start for the refine loop; same role as the reference's
         ``variablebase.py:360-385``).
 
         One interpolation matrix per variable *kind* (state grid / control
-        grid) is built against the new phase's node times, then applied to
-        every variable of that kind."""
-        span = self.t_f - self.t_0
+        grid) is built against the new phase's node times (or taken from
+        ``matrices``, see :meth:`adapt_matrices`), then applied to every
+        variable of that kind."""
+        V_x_m, V_u_m = (
+            matrices if matrices is not None else self.adapt_matrices(phase)
+        )
         data_new = np.empty(phase.L)
         for kind, n_var, offset, V in (
-            ("x", phase.n_x, 0, self.V_x(phase.t_x * span + self.t_0)),
-            ("u", phase.n_u, phase.n_x, self.V_u(phase.t_u * span + self.t_0)),
+            ("x", phase.n_x, 0, V_x_m),
+            ("u", phase.n_u, phase.n_x, V_u_m),
         ):
             src = self.x if kind == "x" else self.u
             for i in range(n_var):

@@ -14,8 +14,17 @@ single-instance). The batched equivalent implemented here:
 
 Compilation cost is per *bucket signature*, not per instance; buckets are
 padded to power-of-two sizes so repeated sweeps reuse executables.
-Per-instance FIXED boundary values are honored in the host-side
-check/refine by temporarily overriding the phase's configured values.
+
+Error estimation runs ON DEVICE for the whole bucket at once
+(:mod:`pockit_tpu.transcription.error`): one jitted batched program per
+(signature, tolerance-triple) returns only the per-interval planning
+scalars, so host work per instance is mesh construction, not residual
+evaluation. Warm-start re-interpolation matrices are cached per
+(source-mesh, target-mesh) signature pair (:meth:`VariableBase.
+adapt_matrices`) — they depend only on normalized node layouts.
+Per-instance FIXED boundary values are honored by the jitted program's
+bc argument (and, for the host-side bang-bang switch-root planner, by
+temporarily overriding the phase's configured values).
 """
 
 from __future__ import annotations
@@ -66,6 +75,33 @@ def _phase_signature(phase):
         tuple(np.round(np.asarray(phase._mesh, dtype=np.float64), 12)),
         tuple(int(n) for n in phase._num_point),
     )
+
+
+def _var_signature(var):
+    """Mesh signature of the (snapshotted) layout a Variable was built on."""
+    return (
+        tuple(np.round(np.asarray(var._mesh, dtype=np.float64), 12)),
+        tuple(int(n) for n in var._num_point),
+    )
+
+
+def _bucket_stats(cache, system, sig_k, tols, z, bc):
+    """Batched device-side error statistics for one bucket solve.
+
+    Builds (and caches per mesh signature — tolerances are runtime
+    scalars) the jitted program from
+    :func:`pockit_tpu.transcription.error.make_error_stats`, runs it on
+    the whole bucket at once, and returns host numpy arrays: one
+    ``(cont_ok, ratio, disc_sat)`` triple per phase, each ``(B, N)``.
+    """
+    fn = cache.get(sig_k)
+    if fn is None:
+        from pockit_tpu.transcription.error import make_error_stats
+
+        fn = make_error_stats(system)
+        cache[sig_k] = fn
+    out = fn(z, bc, tuple(np.float64(t) for t in tols))
+    return [tuple(np.asarray(a) for a in trip) for trip in out]
 
 
 def _apply_signature(system, sig):
@@ -141,9 +177,35 @@ def solve_refine_batch(
     from pockit_tpu.base.variable import VariableBase
     from pockit_tpu.optimizer import ipm
 
+    from pockit_tpu.base.phase import PhaseBase
+
     check_kw = dict(check_kw or {})
     refine_kw = dict(refine_kw or {})
     n_p, n_s = system.n_p, system.n_s
+
+    # tolerance plumbing for the device-side error statistics (defaults
+    # mirror check_continuous / plan_refine_* signatures in base/phase.py)
+    atol_c = float(check_kw.get("absolute_tolerance_continuous", 1e-8))
+    rtol_c = float(check_kw.get("relative_tolerance_continuous", 1e-8))
+    dtol_c = float(check_kw.get("tolerance_discontinuous", 1e-3))
+    mtol_c = float(check_kw.get("tolerance_mesh", 1e-4))
+    atol_p = float(refine_kw.get("absolute_tolerance_continuous", 1e-8))
+    rtol_p = float(refine_kw.get("relative_tolerance_continuous", 1e-8))
+    mtol_p = float(refine_kw.get("mesh_length_min", 1e-3))
+    np_min = int(refine_kw.get("num_point_min", 6))
+    np_max = int(refine_kw.get("num_point_max", 12))
+    ml_max = float(refine_kw.get("mesh_length_max", 1.0))
+    tols_c = (atol_c, rtol_c, dtol_c)
+    tols_p = (atol_p, rtol_p, dtol_c)
+    stats_cache: dict = {}
+    adapt_cache: dict = {}
+    # phases whose check_discontinuous is the native implementation can be
+    # checked on device; scheme-level overrides that raise (Lobatto) keep
+    # the old try/except semantics (treated as passing)
+    disc_native = [
+        type(p).check_discontinuous is PhaseBase.check_discontinuous
+        for p in system.p
+    ]
 
     if isinstance(guess, VariableBase):
         guess_vars = [guess]
@@ -194,7 +256,13 @@ def solve_refine_batch(
             gb = np.empty((Bk, system.L))
             for j, i in enumerate(take):
                 for pi, phase in enumerate(system.p):
-                    v_new = inst_vars[i][pi].adapt(phase)
+                    v = inst_vars[i][pi]
+                    mk = (pi, _var_signature(v), sig_k[pi])
+                    mats = adapt_cache.get(mk)
+                    if mats is None:
+                        mats = v.adapt_matrices(phase)
+                        adapt_cache[mk] = mats
+                    v_new = v.adapt(phase, matrices=mats)
                     gb[j, system.l_p[pi] : system.r_p[pi]] = v_new.data
                 if n_s:
                     gb[j, system.l_s : system.r_s] = inst_statics[i]
@@ -216,6 +284,19 @@ def solve_refine_batch(
             z = np.asarray(res.z, dtype=np.float64)
             st = np.asarray(res.status)
             ob = np.asarray(res.obj)
+
+            # device-side error statistics for the whole bucket at once
+            # (the residual T_x - I_f is the same dense-operator einsum the
+            # solver runs; only per-interval scalars come back to the host)
+            stats_c = stats_p = None
+            if np.any(st[: len(idx)] == 0):
+                stats_c = _bucket_stats(
+                    stats_cache, system, sig_k, tols_c, res.z, bc_k
+                )
+                if tols_p == tols_c:
+                    stats_p = stats_c
+            tiny_c = [p._tiny_intervals(mtol_c) for p in system.p]
+            tiny_p = [p._tiny_intervals(mtol_p) for p in system.p]
 
             # write back + check + plan while the phases carry sig_k
             for j, i in enumerate(take[: len(idx)]):
@@ -244,40 +325,56 @@ def solve_refine_batch(
                 inst_vars[i] = new_vars
                 ok_all = True
                 plan = []
-                with ExitStack() as stack:
-                    if bc_rows is not None:
-                        for pi, phase in enumerate(system.p):
-                            stack.enter_context(
-                                _fixed_bc_values(phase, bc_k[pi][j])
-                            )
-                    for pi, phase in enumerate(system.p):
-                        var, s_arg = inst_vars[i][pi], s_i
-                        try:
-                            disc_ok = disc_flag[i][pi] or phase.check_discontinuous(
-                                var,
-                                s_arg,
-                                **_accepted_kw(phase.check_discontinuous, check_kw),
-                            )
-                        except NotImplementedError:
-                            disc_ok = True
-                        disc_flag[i][pi] = bool(disc_ok)
-                        cont_ok = phase.check_continuous(
-                            var,
-                            s_arg,
-                            **_accepted_kw(phase.check_continuous, check_kw),
+                for pi, phase in enumerate(system.p):
+                    cont_ok_j, _, disc_sat_j = (
+                        a[j] for a in stats_c[pi]
+                    )
+                    if disc_native[pi]:
+                        disc_ok = disc_flag[i][pi] or bool(
+                            np.all(disc_sat_j | tiny_c[pi])
                         )
-                        if disc_ok and cont_ok:
-                            plan.append(None)
-                            continue
-                        ok_all = False
-                        planner = (
-                            phase.plan_refine_continuous
-                            if disc_ok
-                            else phase.plan_refine_discontinuous
-                        )
+                    else:
+                        disc_ok = True
+                    disc_flag[i][pi] = bool(disc_ok)
+                    cont_pass = bool(np.all(cont_ok_j | tiny_c[pi]))
+                    if disc_ok and cont_pass:
+                        plan.append(None)
+                        continue
+                    ok_all = False
+                    if disc_ok:
+                        # p/h plan from the device statistics
+                        if stats_p is None:
+                            stats_p = _bucket_stats(
+                                stats_cache, system, sig_k, tols_p, res.z, bc_k
+                            )
+                        ec = stats_p[pi][0][j] | tiny_p[pi]
                         plan.append(
-                            planner(var, s_arg, **_accepted_kw(planner, refine_kw))
+                            phase._plan_continuous_from_stats(
+                                ec,
+                                stats_p[pi][1][j],
+                                rtol_p,
+                                np_min,
+                                np_max,
+                                mtol_p,
+                                ml_max,
+                            )
                         )
+                    else:
+                        # switch-root placement needs the bang-bang values
+                        # themselves — host path, per failing instance only
+                        with ExitStack() as stack:
+                            if bc_rows is not None:
+                                stack.enter_context(
+                                    _fixed_bc_values(phase, bc_k[pi][j])
+                                )
+                            planner = phase.plan_refine_discontinuous
+                            plan.append(
+                                planner(
+                                    inst_vars[i][pi],
+                                    s_i,
+                                    **_accepted_kw(planner, refine_kw),
+                                )
+                            )
                 if ok_all:
                     passed[i] = True
                 elif rnd < max_refine_rounds:

@@ -14,10 +14,13 @@ and completion is forced with a host fetch of a small reduction
 Usage: python tools/profile_iter.py [B] [iters] [configs...]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fetch(x):

@@ -21,6 +21,7 @@ solves/s per host.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -91,6 +92,31 @@ def main():
     opts_fast = IPOptions(tol=5e-6, max_iter=5, refine_steps=3, max_ls=8)
     opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
 
+    # AOT artifacts (tools/export_bench_artifacts.py): a committed
+    # StableHLO export of the two solver programs skips their trace cost
+    # at cold start; XLA compilation still runs (persistently cached).
+    # Any failure falls back to the normal trace path below.
+    aot_installed = False
+    try:
+        from pockit_tpu.utils import aot
+
+        art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts")
+        p1 = os.path.join(art_dir, aot.artifact_name("bench_lqr_firstpass", B))
+        p2 = os.path.join(
+            art_dir, aot.artifact_name(f"bench_lqr_drain{max(B // 8, 8)}", B)
+        )
+        if os.path.exists(p1) and os.path.exists(p2):
+            aot.install_batch_solver(system, opts_fast, p1)
+            aot.install_drain_round(system, opts_drain, p2)
+            aot_installed = True
+    except Exception:
+        aot_installed = False
+
+    def _clear_aot():
+        compiled._ipm_cache.pop((opts_fast, "vmap"), None)
+        compiled._ipm_cache.pop((opts_drain, "drain_round"), None)
+
     def solve_all(bc):
         # x0b stays device-resident: np.asarray here would haul the full
         # (B, L) guess host-side and re-upload it every repetition
@@ -107,7 +133,15 @@ def main():
         return status, obj, iters, done1
 
     t0 = time.time()
-    solve_all(draw_bc())
+    try:
+        solve_all(draw_bc())
+    except Exception:
+        if not aot_installed:
+            raise
+        # stale/incompatible artifact: fall back to the trace path
+        aot_installed = False
+        _clear_aot()
+        solve_all(draw_bc())
     compile_s = time.time() - t0
 
     walls, convs, objs, iter_means, frac_first = [], [], [], [], []
@@ -138,6 +172,7 @@ def main():
                 "converged_frac": round(float(np.mean(convs)), 4),
                 "wall_s_per_batch": round(dt, 4),
                 "compile_s": round(compile_s, 1),
+                "aot": aot_installed,
                 "mean_iters": round(float(np.mean(iter_means)), 2),
                 "first_pass_frac": round(float(np.mean(frac_first)), 3),
                 "max_objective_parity_error": float(np.max(objs)),

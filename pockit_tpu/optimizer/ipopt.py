@@ -20,8 +20,14 @@ _OPTION_MAP = {
     "max_iter": "max_iter",
     "mu_init": "mu_init",
     "bound_relax_factor": "bound_relax",
-    "mu_strategy": "mu_strategy",  # 'monotone' / 'adaptive', same values
+    "mu_strategy": "mu_strategy",  # translated below: 'adaptive' -> 'mehrotra'
 }
+# IPOPT's mu_strategy=adaptive defaults to a Mehrotra-type probing oracle
+# (its mu_oracle option); the native equivalent is 'mehrotra'. The native
+# 'adaptive' value is the LOQO centrality rule, which measures worse than
+# the monotone ladder on every gate (tools/compare_mu.py) — don't send
+# IPOPT users there.
+_VALUE_MAP = {"mu_strategy": {"adaptive": "mehrotra"}}
 _IGNORED = {
     "print_level",
     "sb",
@@ -39,7 +45,7 @@ def _translate(options: Optional[Union[dict, IPOptions]]) -> Optional[IPOptions]
     kwargs = {}
     for k, v in options.items():
         if k in _OPTION_MAP:
-            kwargs[_OPTION_MAP[k]] = v
+            kwargs[_OPTION_MAP[k]] = _VALUE_MAP.get(k, {}).get(v, v)
         elif k not in _IGNORED:
             warnings.warn(f"IPOPT option {k!r} has no equivalent; ignored")
     return IPOptions(**{**base.__dict__, **kwargs})

@@ -565,6 +565,12 @@ def make_ip_solver(
                 mu_ad = jnp.clip(sigma * avg, opt.tol / 10.0, opt.mu_init)
                 mu = jnp.where(n_comp > 0, mu_ad, mu)
                 th_f, ph_f = st.th_f, st.ph_f
+            elif opt.mu_strategy == "mehrotra":
+                # Mehrotra-style probing (IPOPT's mu_oracle=probing): mu is
+                # retargeted AFTER the affine-scaling probe below, which
+                # needs this iteration's factorization; assemble the KKT
+                # matrix at the state's mu. No filter reset (as adaptive).
+                th_f, ph_f = st.th_f, st.ph_f
             else:
                 # monotone Fiacco-McCormick ladder; filter resets with mu
                 E_mu = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, jty, c0, mu)
@@ -599,6 +605,20 @@ def make_ip_solver(
 
             g_z = g + jty - mu * inv_al + mu * inv_au
             g_s = jnp.where(eq, 0.0, -y - mu * inv_bl + mu * inv_bu)
+            mehrotra = opt.mu_strategy == "mehrotra"
+
+            def _rhs_of(g_z_, g_s_):
+                if use_block:
+                    return -g_z_ - (jt_mv(D * r_c + g_s_) if m else 0.0)
+                return -g_z_ - (J.T @ (D * r_c + g_s_) if m else 0.0)
+
+            if mehrotra:
+                # the factorization's trial solve probes the affine (mu=0)
+                # system; the centered rhs is re-solved after the probe
+                g_s_aff = jnp.where(eq, 0.0, -y)
+                rhs_use = (g + jty, g_s_aff)
+            else:
+                rhs_use = (g_z, g_s)
 
             if use_block:
                 # block-arrow assembly from interval-local AD — no W, no J,
@@ -611,13 +631,13 @@ def make_ip_solver(
                 sig_ext = jnp.concatenate([sigma_z, jnp.zeros((1,), dtype)])
                 K_ii0 = K_ii0 + eye_ni * sig_ext[_bk_interior][:, :, None]
                 K_rr0 = K_rr0 + jnp.diag(sigma_z[_bk_reduced])
-                rhs = -g_z - (jt_mv(D * r_c + g_s) if m else 0.0)
+                rhs = _rhs_of(*rhs_use)
             else:
                 W = hess_lag_fn(z, y, rt)
                 K0 = W + jnp.diag(sigma_z)
                 if m:
                     K0 = K0 + (J.T * D) @ J
-                rhs = -g_z - (J.T @ (D * r_c + g_s) if m else 0.0)
+                rhs = _rhs_of(*rhs_use)
 
             # -- inertia correction: escalate delta_w until the
             # factorization is solid AND the step is sane -----------------
@@ -803,6 +823,109 @@ def make_ip_solver(
                 def chol_solve(b):
                     return lin_apply(fac_k, b)
 
+            if mehrotra:
+                # -- Mehrotra probe: the escalation solved the affine
+                # (mu = 0) system; measure how much complementarity the
+                # pure Newton step would retire, retarget mu by the cubic
+                # rule, then re-solve the centered rhs against the SAME
+                # factorization (one extra back-substitution) -------------
+                dz_aff = dz
+                if m:
+                    Jdz_a = j_mv(dz_aff) if use_block else J @ dz_aff
+                else:
+                    Jdz_a = jnp.zeros((0,), dtype)
+                ds_a = jnp.where(eq, 0.0, Jdz_a + r_c)
+                dw_l_a = jnp.where(has_zl, -w_l - w_l * inv_al * dz_aff, 0.0)
+                dw_u_a = jnp.where(has_zu, -w_u + w_u * inv_au * dz_aff, 0.0)
+                dv_l_a = jnp.where(has_cl, -v_l - v_l * inv_bl * ds_a, 0.0)
+                dv_u_a = jnp.where(has_cu, -v_u + v_u * inv_bu * ds_a, 0.0)
+                a_p = jnp.minimum(
+                    jnp.minimum(
+                        _max_step(has_zl, al, dz_aff, 1.0),
+                        _max_step(has_zu, au, -dz_aff, 1.0),
+                    ),
+                    jnp.minimum(
+                        _max_step(has_cl, bl, ds_a, 1.0),
+                        _max_step(has_cu, bu, -ds_a, 1.0),
+                    ),
+                )
+                a_d = jnp.minimum(
+                    jnp.minimum(
+                        _max_step(has_zl, w_l, dw_l_a, 1.0),
+                        _max_step(has_zu, w_u, dw_u_a, 1.0),
+                    ),
+                    jnp.minimum(
+                        _max_step(has_cl, v_l, dv_l_a, 1.0),
+                        _max_step(has_cu, v_u, dv_u_a, 1.0),
+                    ),
+                )
+
+                def _comp(al_, au_, bl_, bu_, wl_, wu_, vl_, vu_):
+                    return (
+                        jnp.sum(jnp.where(has_zl, al_ * wl_, 0.0))
+                        + jnp.sum(jnp.where(has_zu, au_ * wu_, 0.0))
+                        + jnp.sum(jnp.where(has_cl, bl_ * vl_, 0.0))
+                        + jnp.sum(jnp.where(has_cu, bu_ * vu_, 0.0))
+                    )
+
+                n_comp = (
+                    jnp.sum(has_zl)
+                    + jnp.sum(has_zu)
+                    + jnp.sum(has_cl)
+                    + jnp.sum(has_cu)
+                )
+                denom = jnp.maximum(n_comp, 1).astype(dtype)
+                avg = _comp(al, au, bl, bu, w_l, w_u, v_l, v_u) / denom
+                mu_aff = (
+                    _comp(
+                        al + a_p * dz_aff,
+                        au - a_p * dz_aff,
+                        bl + a_p * ds_a,
+                        bu - a_p * ds_a,
+                        w_l + a_d * dw_l_a,
+                        w_u + a_d * dw_u_a,
+                        v_l + a_d * dv_l_a,
+                        v_u + a_d * dv_u_a,
+                    )
+                    / denom
+                )
+                sigma = jnp.clip(
+                    (mu_aff / jnp.maximum(avg, 1e-30)) ** 3, 0.0, 1.0
+                )
+                mu_m = jnp.clip(sigma * avg, opt.tol / 10.0, opt.mu_init)
+                probe_ok = (
+                    (n_comp > 0)
+                    & jnp.isfinite(mu_m)
+                    & reg_ok
+                    & jnp.all(jnp.isfinite(dz_aff))
+                )
+                mu = jnp.where(probe_ok, mu_m, mu)
+                # second-order corrector: per-element complementarity
+                # targets mu - da_aff * dw_aff (Mehrotra), safeguarded into
+                # [0, 10 mu] (Gondzio-style clip — a wild outer product must
+                # not push the target out of the cone). Zeroed when the
+                # probe itself is unusable.
+                corr = jnp.where(probe_ok, one, 0.0)
+                t_zl = jnp.clip(mu - corr * dz_aff * dw_l_a, 0.0, 10.0 * mu)
+                t_zu = jnp.clip(mu + corr * dz_aff * dw_u_a, 0.0, 10.0 * mu)
+                t_sl = jnp.clip(mu - corr * ds_a * dv_l_a, 0.0, 10.0 * mu)
+                t_su = jnp.clip(mu + corr * ds_a * dv_u_a, 0.0, 10.0 * mu)
+                # centered+corrected direction at the retargeted mu (rebinds
+                # g_z/g_s so the saddle refinement and dw/dv recovery below
+                # target the corrected system)
+                g_z = g + jty - t_zl * inv_al + t_zu * inv_au
+                g_s = jnp.where(
+                    eq, 0.0, -y - t_sl * inv_bl + t_su * inv_bu
+                )
+                rhs = _rhs_of(g_z, g_s)
+                dz_c = chol_solve(rhs)
+                ok_c = jnp.all(jnp.isfinite(dz_c)) & (
+                    jnp.linalg.norm(dz_c) <= step_cap
+                )
+                dz = jnp.where(ok_c, dz_c, dz)
+            else:
+                t_zl = t_zu = t_sl = t_su = mu
+
             def _expand(dz_):
                 """Recover slack/dual directions from a primal direction."""
                 if m:
@@ -903,10 +1026,13 @@ def make_ip_solver(
             dy_cap = 1e3 * (one + jnp.max(jnp.abs(y), initial=0.0))
             dy_norm = jnp.max(jnp.abs(dy), initial=0.0)
             dy = dy * jnp.minimum(1.0, dy_cap / jnp.maximum(dy_norm, 1e-30))
-            dw_l = jnp.where(has_zl, mu * inv_al - w_l - w_l * inv_al * dz, 0.0)
-            dw_u = jnp.where(has_zu, mu * inv_au - w_u + w_u * inv_au * dz, 0.0)
-            dv_l = jnp.where(has_cl, mu * inv_bl - v_l - v_l * inv_bl * ds, 0.0)
-            dv_u = jnp.where(has_cu, mu * inv_bu - v_u + v_u * inv_bu * ds, 0.0)
+            # t_* are the per-element complementarity targets: plain mu for
+            # the monotone/adaptive rules, mu - da_aff*dw_aff (clipped) for
+            # the Mehrotra corrector
+            dw_l = jnp.where(has_zl, t_zl * inv_al - w_l - w_l * inv_al * dz, 0.0)
+            dw_u = jnp.where(has_zu, t_zu * inv_au - w_u + w_u * inv_au * dz, 0.0)
+            dv_l = jnp.where(has_cl, t_sl * inv_bl - v_l - v_l * inv_bl * ds, 0.0)
+            dv_u = jnp.where(has_cu, t_su * inv_bu - v_u + v_u * inv_bu * ds, 0.0)
 
             # -- fraction to boundary -----------------------------------
             tau = jnp.maximum(opt.tau_min, 1.0 - mu)

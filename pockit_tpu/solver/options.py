@@ -25,8 +25,12 @@ class IPOptions:
     kappa_mu: float = 0.2  # linear mu shrink factor
     theta_mu: float = 1.5  # superlinear mu shrink exponent
     kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
-    # barrier update strategy: "monotone" (Fiacco-McCormick ladder) or
-    # "adaptive" (LOQO centrality rule, re-targeted every iteration)
+    # barrier update strategy: "monotone" (Fiacco-McCormick ladder, the
+    # default), "mehrotra" (affine-scaling probe retargets mu by the cubic
+    # rule + second-order corrector; one extra back-substitution per
+    # iteration — wins on inequality-active problems like bang-bang, ties
+    # elsewhere), or "adaptive" (LOQO centrality rule; measured worse than
+    # monotone on every gate, kept for comparison — tools/compare_mu.py)
     mu_strategy: str = "monotone"
     tau_min: float = 0.99  # fraction-to-boundary floor
     kappa_1: float = 1e-2  # initial-point push (absolute)

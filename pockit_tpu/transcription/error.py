@@ -128,11 +128,15 @@ def make_error_stats(system):
     l_s, r_s = compiled.l_s, compiled.r_s
 
     def one(z, bc, tols):
-        s = z[l_s:r_s]
-        atol, rtol, dtol = tols
-        return [
-            fn(z[l_p[i] : r_p[i]], s, bc[i], atol, rtol, dtol)
-            for i, fn in enumerate(per_phase)
-        ]
+        # TPU f32 matmuls default to bfloat16 passes (~1e-3 relative
+        # noise), which would swamp the collocation residual; the error
+        # operators must run at full precision like the solver does
+        with jax.default_matmul_precision("highest"):
+            s = z[l_s:r_s]
+            atol, rtol, dtol = tols
+            return [
+                fn(z[l_p[i] : r_p[i]], s, bc[i], atol, rtol, dtol)
+                for i, fn in enumerate(per_phase)
+            ]
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))

@@ -73,3 +73,69 @@ def test_aot_rejects_wrong_batch_shape(tmp_path):
     bc = np.tile(np.asarray(system.compiled.phases[0].fixed_vals), (8, 1))
     with pytest.raises(Exception):
         call(np.tile(x0, (8, 1)), bc)  # artifact pinned to B=4
+
+
+def test_install_skips_trace_and_matches(tmp_path):
+    """install_batch_solver / install_drain_round pre-populate the ipm jit
+    caches so solve_batch / solve_batch_drained run the artifact instead of
+    tracing; results must match the traced path."""
+    from pockit_tpu.utils.aot import (
+        export_batch_solver,
+        export_drain_round,
+        install_batch_solver,
+        install_drain_round,
+    )
+
+    system, phase = _lqr()
+    guess = lobatto.constant_guess(phase, 0)
+    x0, _ = preprocess(system, [guess, [0.0]])
+    B, Bd = 8, 4
+    rng = np.random.default_rng(1)
+    bc = np.tile(np.asarray(system.compiled.phases[0].fixed_vals), (B, 1))
+    bc[:, 0] = rng.uniform(0.5, 1.5, B)
+    gb = np.tile(x0, (B, 1))
+
+    opts_fast = IPOptions(tol=1e-9, max_iter=3)  # guarantees stragglers
+    opts_drain = IPOptions(tol=1e-9, max_iter=60)
+
+    # traced reference first (fresh caches)
+    st_ref, obj_ref, it_ref, z_ref = ipm.solve_batch_drained(
+        system,
+        gb,
+        bc_overrides=(bc,),
+        optimizer_options=opts_drain,
+        first_pass_options=opts_fast,
+        drain_frac=B // Bd,
+    )
+    assert np.all(st_ref == 0)
+
+    # wipe the jit caches, install artifacts, re-run
+    compiled = system.compiled
+    compiled._ipm_cache.pop((opts_fast, "vmap"), None)
+    compiled._ipm_cache.pop((opts_drain, "drain_round"), None)
+    install_batch_solver(
+        system, opts_fast, export_batch_solver(system, B, opts_fast)
+    )
+    install_drain_round(
+        system, opts_drain, export_drain_round(system, B, Bd, opts_drain)
+    )
+    assert (opts_fast, "vmap") in compiled._ipm_cache
+    st, obj, it, z = ipm.solve_batch_drained(
+        system,
+        gb,
+        bc_overrides=(bc,),
+        optimizer_options=opts_drain,
+        first_pass_options=opts_fast,
+        drain_frac=B // Bd,
+    )
+    np.testing.assert_array_equal(st, st_ref)
+    np.testing.assert_allclose(obj, obj_ref, rtol=1e-10, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(z_ref), rtol=0, atol=1e-9
+    )
+
+    # artifact names are platform/version/precision-stamped
+    from pockit_tpu.utils.aot import artifact_name
+
+    name = artifact_name("bench_lqr_firstpass", B)
+    assert f"B{B}" in name and name.endswith(".stablehlo")

@@ -73,8 +73,8 @@ def _random_ocp(seed):
 def test_random_ocp_matches_scipy(seed):
     mod, system, phase = _random_ocp(seed)
     guess = mod.constant_guess(phase, 0.1)
-    # alternate barrier strategies so both code paths stay covered
-    strategy = "adaptive" if seed % 3 == 2 else "monotone"
+    # rotate barrier strategies so all three code paths stay covered
+    strategy = ["monotone", "adaptive", "mehrotra"][seed % 3]
     var, info = ipm.solve(
         system, guess, IPOptions(tol=1e-8, max_iter=200, mu_strategy=strategy)
     )

@@ -10,9 +10,11 @@ from pockit_tpu.parallel.sharding import make_sharded_batch_solver
 from pockit_tpu.parallel.distributed import initialize_distributed, instance_mesh
 from pockit_tpu.parallel.homotopy import homotopy_sweep
 from pockit_tpu.parallel.refine_batch import solve_refine_batch, SweepResult
+from pockit_tpu.solver.structured import make_sharded_structured_solve
 
 __all__ = [
     "make_sharded_batch_solver",
+    "make_sharded_structured_solve",
     "initialize_distributed",
     "instance_mesh",
     "homotopy_sweep",

@@ -64,7 +64,7 @@ def build_orbit():
 
 
 def orbit_bc(compiled, B, rng):
-    # fixed_vals order: x0 FIXED (r,u,v), t0, tf. Perturbed circular
+    # fixed_vals order: x0 FIXED (r,u,v), u_f, t0, tf. Perturbed circular
     # starts: r0 ~ U(0.99, 1.03), v0 = 1/sqrt(r0); lane 0 nominal.
     bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
     r0 = rng.uniform(0.99, 1.03, B)
@@ -107,8 +107,6 @@ def build_goddard():
         (p2, (1.005, 1.01), (0.1, 0.05), (0.8, MF), 1.0),
         (p3, (1.01, 1.013), (0.05, 0.0), (MF, MF), 0.0),
     ]:
-        import pockit_tpu.radau as radau
-
         g = radau.linear_guess(ph, 0.5)
         g.x[0] = h0 + (h1 - h0) * ph.t_x
         g.x[1] = vv0 + (vv1 - vv0) * ph.t_x

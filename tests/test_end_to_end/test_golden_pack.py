@@ -5,6 +5,12 @@ for the gate problems at fixed meshes (recorded by
 ``tools/record_golden.py``; regenerate with ``--backend ipopt`` on a box
 with the reference stack). The native solver must reproduce every
 objective at the same mesh.
+
+The committed pack is scipy-recorded by documented decision (cyipopt and
+numba are absent from this image and installs are disallowed — see the
+PROVENANCE DECISION block in ``tools/record_golden.py``); solver
+independence comes from trust-constr here, transcription independence
+from ``test_ode_anchor.py``'s solve_ivp re-integration anchors.
 """
 
 import json

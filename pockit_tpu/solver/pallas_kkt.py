@@ -260,6 +260,22 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
     interior_j = np.asarray(interior)
     reduced_j = np.asarray(reduced)
 
+    # one-hot placement operators: the gather/pad/transpose chains around
+    # the kernels (and their scatter inverses) become single einsums that
+    # produce/consume the batch-last kernel layout directly — batched
+    # scatter is a serialized anti-pattern on TPU, and the fused einsum
+    # also absorbs the (B, .) <-> (., B) transpose. Phantom interior slots
+    # (ragged padding, index >= n) and row pads are all-zero rows, which
+    # reproduces the old "phantom reads 0 / dropped" semantics exactly.
+    G_int = np.zeros((nb, ni_p, n))
+    for _b in range(nb):
+        for _i in range(ni):
+            _c = int(interior[_b, _i])
+            if _c < n:
+                G_int[_b, _i, _c] = 1.0
+    G_red = np.zeros((nr_p, n))
+    G_red[np.arange(nr), reduced_j] = 1.0
+
     def pad_move(K_ii, K_ir, K_rr):
         """(B, ...) blocks -> batch-last, rows/cols padded to 8-multiples
         with unit diagonal so padded pivots are exactly 1 (excluded from
@@ -376,16 +392,11 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
         if B > B_out:
             rhs = jnp.pad(rhs, ((0, B - B_out), (0, 0)))
         T = B // _BT
-        rhs_ext = jnp.concatenate(
-            [rhs, jnp.zeros((B, 1), dtype)], axis=1
-        )
-        b_i = rhs_ext[:, interior_j]  # (B, nb, ni); phantom reads 0
-        b_i = jnp.moveaxis(
-            jnp.pad(b_i, ((0, 0), (0, 0), (0, ni_p - ni))), 0, -1
-        )  # (nb, ni_p, B)
-        b_r = jnp.moveaxis(
-            jnp.pad(rhs[:, reduced_j], ((0, 0), (0, nr_p - nr))), 0, -1
-        )  # (nr_p, B)
+        Gi = jnp.asarray(G_int, dtype)
+        Gr = jnp.asarray(G_red, dtype)
+        # gather + pad + batch-last transpose as one einsum each
+        b_i = jnp.einsum("Bn,bin->biB", rhs, Gi)  # (nb, ni_p, B)
+        b_r = jnp.einsum("Bn,rn->rB", rhs, Gr)  # (nr_p, B)
 
         xbi, rred = pl.pallas_call(
             _apply_down_kernel,
@@ -475,13 +486,11 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
             interpret=interpret,
         )(L_r, sc_r, rred, X_ir, xbi)
 
-        x_i = jnp.moveaxis(xi, -1, 0)[:, :, :ni]  # (B, nb, ni)
-        x_r = jnp.moveaxis(xr, -1, 0)[:, :nr]  # (B, nr)
-        x = jnp.zeros_like(rhs)
-        x = x.at[:, interior_j.ravel()].set(
-            x_i.reshape(B, -1)
-        )  # phantom index dropped
-        x = x.at[:, reduced_j].set(x_r)
+        # placement (scatter inverse) + batch-leading transpose, one
+        # einsum each; phantom/pad rows are zero in G and vanish
+        x = jnp.einsum("biB,bin->Bn", xi, Gi) + jnp.einsum(
+            "rB,rn->Bn", xr, Gr
+        )
         return x[:B_out]
 
     # jit-wrapped: each pallas_call re-traces its kernel body (O(n^2)
@@ -547,6 +556,19 @@ def make_newton_dir(
     )
     ni_p, nr_p = core.ni_p, core.nr_p
 
+    # one-hot select/place operators for the matvec: no batched TPU
+    # scatter, and the placement einsum drops phantom slots (zero rows)
+    # exactly like the old "phantom reads 0 / dropped" index plumbing
+    nb_mv, ni_mv = interior.shape
+    G2_int = np.zeros((nb_mv, ni_mv, n))
+    for _b in range(nb_mv):
+        for _i in range(ni_mv):
+            _c = int(interior[_b, _i])
+            if _c < n:
+                G2_int[_b, _i, _c] = 1.0
+    G2_red = np.zeros((nr, n))
+    G2_red[np.arange(nr), reduced] = 1.0
+
     def _ba_mv(K_ii, K_ir, K_rr, delta, x):
         """Block-arrow matvec ``(K + delta I) x`` on batch-leading raw
         blocks (x ``(..., n)``; leading batch axes optional). Used for the
@@ -554,11 +576,10 @@ def make_newton_dir(
         loses ~a digit of backward stability on near-singular Schur
         complements vs LAPACK, and one residual correction against the
         *factored* (perturbed) system wins it back."""
-        x_ext = jnp.concatenate(
-            [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
-        )
-        x_i = x_ext[..., interior]  # (..., nb, ni); phantom reads 0
-        x_r = x[..., reduced]  # (..., nr)
+        Gi = jnp.asarray(G2_int, x.dtype)
+        Gr = jnp.asarray(G2_red, x.dtype)
+        x_i = jnp.einsum("...n,kin->...ki", x, Gi)  # phantom slots read 0
+        x_r = jnp.einsum("...n,rn->...r", x, Gr)
         y_i = (
             jnp.einsum("...kij,...kj->...ki", K_ii, x_i)
             + jnp.einsum("...kij,...j->...ki", K_ir, x_r)
@@ -569,12 +590,9 @@ def make_newton_dir(
             + jnp.einsum("...ij,...j->...i", K_rr, x_r)
             + delta[..., None] * x_r
         )
-        y = jnp.zeros_like(x)
-        y = y.at[..., interior.ravel()].set(
-            y_i.reshape(x.shape[:-1] + (-1,))
-        )  # phantom slot dropped
-        y = y.at[..., reduced].set(y_r)
-        return y
+        return jnp.einsum("...ki,kin->...n", y_i, Gi) + jnp.einsum(
+            "...r,rn->...n", y_r, Gr
+        )
 
     def _schedule(delta, tries, dreg):
         """Inertia-escalation schedule (mirrors solver/ipm.py reg_body)."""

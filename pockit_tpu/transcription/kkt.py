@@ -388,6 +388,14 @@ def _make_pointwise_m(system, ph):
         cm[q] = c
     # stays numpy (host constant — see the BlockKKT consts note)
 
+    # the same map as a one-hot contraction tensor: batched scatter-add
+    # is a serialized anti-pattern on TPU, while S-sandwich einsums are
+    # MXU matmuls (and their AD transposes stay matmuls)
+    S_cm = np.zeros((pts_u, n_pt, n_loc), dtype=np.float64)
+    S_cm[
+        np.arange(pts_u)[:, None], np.arange(n_pt)[None, :], cm
+    ] = 1.0
+
     # static linear Jacobian rows: d(X @ Tb.T)/d z_sub
     Tb = np.asarray(ph["T_blk"][0])
     A_lin = np.zeros((n_x * dyn_rows, n_loc))
@@ -467,21 +475,11 @@ def _make_pointwise_m(system, ph):
         )  # (pts_u, n_pt, n_pt)
         Gpsi = jax.vmap(jax.jacfwd(psi))(P, tau_i)  # (pts_u, n_f, n_pt)
 
-        # scatter pointwise Hessians / Jacobians onto local columns
-        W_sub = (
-            jnp.zeros((n_loc, n_loc), dtype)
-            .at[cm[:, :, None], cm[:, None, :]]
-            .add(Hphi)
-        )
-        G_loc = (
-            jnp.zeros((pts_u, n_f, n_loc), dtype)
-            .at[
-                jnp.arange(pts_u)[:, None, None],
-                jnp.arange(n_f)[None, :, None],
-                cm[:, None, :],
-            ]
-            .add(Gpsi)
-        )
+        # place pointwise Hessians / Jacobians onto local columns via the
+        # one-hot sandwich (matmuls, no TPU scatter)
+        Sd = jnp.asarray(S_cm, dtype)
+        W_sub = jnp.einsum("qaj,qai->ij", jnp.einsum("qab,qbj->qaj", Hphi, Sd), Sd)
+        G_loc = jnp.einsum("qfa,qaj->qfj", Gpsi, Sd)
 
         parts = []
         if n_x:
@@ -514,7 +512,7 @@ def _make_pointwise_m(system, ph):
             # second-order term: d2 z_sub[j] / ds2 weighted by the
             # Lagrangian gradient at the substituted column
             gphi = jax.vmap(jax.grad(phi))(P, kap.T, lam_path.T, w_i, tau_i)
-            g_sub = jnp.zeros((n_loc,), dtype).at[cm].add(gphi)
+            g_sub = jnp.einsum("qa,qaj->j", gphi, jnp.asarray(S_cm, dtype))
             if n_x:
                 g_sub = g_sub + lam_dyn.reshape(-1) @ jnp.asarray(A_lin, dtype)
             coeff = qm.astype(dtype) * g_sub
@@ -665,6 +663,17 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
     # of the solver's cold start). numpy constants embed directly.
     consts = []
     for ph in groups:
+        N, n_loc, ni_g = ph["N"], ph["n_loc"], ph["ni"]
+        int_sel = np.asarray(ph["int_sel"])
+        red_sel = np.asarray(ph["red_sel"])
+        red_pos = np.asarray(ph["red_pos"])
+        # one-hot forms of the local->block-arrow index maps: gathers and
+        # scatter-adds over the (B, N, n_loc, n_loc) M blocks become
+        # batched matmuls on the MXU instead of TPU scatter kernels
+        E_int = np.zeros((N, ni_g, n_loc))
+        E_int[np.arange(N)[:, None], np.arange(ni_g)[None, :], int_sel] = 1.0
+        P_red = np.zeros((N, n_loc, nr))
+        P_red[np.arange(N)[:, None], red_sel, red_pos] = 1.0
         consts.append(
             dict(
                 local_cols=np.asarray(ph["local_cols"]),
@@ -678,11 +687,21 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
                 fsl=np.asarray(ph["fixed_slot"]),
                 qm=np.asarray(ph["func_mask"]),
                 qsl=np.asarray(ph["func_slot"]),
-                int_sel=np.asarray(ph["int_sel"]),
-                red_sel=np.asarray(ph["red_sel"]),
-                red_pos=np.asarray(ph["red_pos"]),
+                int_sel=int_sel,
+                red_sel=red_sel,
+                red_pos=red_pos,
+                E_int=E_int,
+                P_red=P_red,
             )
         )
+    if n_s:
+        S_stat = np.zeros((n_s, nr))
+        S_stat[np.arange(n_s), s_red_pos] = 1.0
+    else:
+        S_stat = np.zeros((0, nr))
+    # ragged phases: group block rows land at their block ids via a static
+    # permutation gather (ids_concat is a permutation of arange(n_blocks))
+    blk_perm = np.argsort(ids_concat) if not in_order else None
 
     interior_pad = np.asarray(layout.interior, dtype=np.int64)
 
@@ -803,17 +822,16 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
 
                 M = m_builder(ph, fns, cst, z_loc, bc, lam_b, D_b, alpha_ph)
 
-                isel, rsel, rpos = cst["int_sel"], cst["red_sel"], cst["red_pos"]
-                bidx = jnp.arange(N)[:, None, None]
-                K_ii_p = M[bidx, isel[:, :, None], isel[:, None, :]]
-                M_ir = M[bidx, isel[:, :, None], rsel[:, None, :]]
-                M_rr = M[bidx, rsel[:, :, None], rsel[:, None, :]]
+                # one-hot sandwiches (matmuls) instead of gather + scatter
+                E_i = jnp.asarray(cst["E_int"], dtype)  # (N, ni_g, n_loc)
+                P_r = jnp.asarray(cst["P_red"], dtype)  # (N, n_loc, nr)
+                Mi = jnp.einsum("nai,nij->naj", E_i, M)
+                K_ii_p = jnp.einsum("naj,nbj->nab", Mi, E_i)
+                K_ir_g = jnp.einsum("naj,njr->nar", Mi, P_r)
+                Mr = jnp.einsum("njr,njk->nrk", P_r, M)
+                K_rr = K_rr + jnp.einsum("nrk,nks->rs", Mr, P_r)
 
-                ni_g = isel.shape[1]
-                K_ir_g = jnp.zeros((N, ni_g, nr), dtype).at[
-                    bidx, jnp.arange(ni_g)[None, :, None], rpos[:, None, :]
-                ].add(M_ir)
-                K_rr = K_rr.at[rpos[:, :, None], rpos[:, None, :]].add(M_rr)
+                ni_g = cst["int_sel"].shape[1]
                 if ni_g < ni_max:
                     # ragged group: embed into the padded width with unit
                     # pivots on the phantom diagonal slots (the factor
@@ -828,20 +846,16 @@ def make_block_kkt(system) -> Optional[BlockKKT]:
                 K_ii_parts.append(K_ii_p)
                 K_ir_parts.append(K_ir_g)
 
-            if in_order:
-                K_ii = jnp.concatenate(K_ii_parts, axis=0)
-                K_ir = jnp.concatenate(K_ir_parts, axis=0)
-            else:
-                # ragged phases: group block rows land at their block ids
-                K_ii = jnp.zeros((n_blocks, ni_max, ni_max), dtype)
-                K_ir = jnp.zeros((n_blocks, ni_max, nr), dtype)
-                for ph, kii_p, kir_p in zip(groups, K_ii_parts, K_ir_parts):
-                    K_ii = K_ii.at[ph["block_ids"]].set(kii_p)
-                    K_ir = K_ir.at[ph["block_ids"]].set(kir_p)
+            K_ii = jnp.concatenate(K_ii_parts, axis=0)
+            K_ir = jnp.concatenate(K_ir_parts, axis=0)
+            if not in_order:
+                # ragged phases: reorder group rows to their block ids by a
+                # static permutation gather (no scatter)
+                K_ii = jnp.take(K_ii, blk_perm, axis=0)
+                K_ir = jnp.take(K_ir, blk_perm, axis=0)
             if n_s:
-                K_rr = K_rr.at[s_red_pos[:, None], s_red_pos[None, :]].add(
-                    H_ss
-                )
+                S_s = jnp.asarray(S_stat, dtype)  # (n_s, nr) one-hot
+                K_rr = K_rr + S_s.T @ H_ss @ S_s
             return K_ii, K_ir, K_rr
 
         return assemble

@@ -43,6 +43,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     K_LO = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     K_HI = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # matmul precision context — the production solver runs its whole body
+    # under "highest" (bf16x6 on TPU), so component costs must be compared
+    # at the same precision to attribute the body's wall time honestly
+    precision = sys.argv[4] if len(sys.argv) > 4 else None
 
     system, phase, guess = build_lqr()
     compiled = system.compiled
@@ -53,20 +57,30 @@ def main():
 
     f_fn = compiled.objective_fn
     c_fn = compiled.constraints_fn
-    rng = np.random.default_rng(0)
+
+    # inputs are generated ON DEVICE from a scalar seed: host->device
+    # transfer of (B, n) arrays over the axon tunnel is minutes-slow and
+    # would dominate every timed repetition
+    x0_dev = jnp.asarray(np.tile(x0, (1, 1)), dtype)  # (1, n), tiny upload
+    fixed_dev = jnp.asarray(
+        np.tile(compiled.phases[0].fixed_vals, (1, 1)), dtype
+    )
+
+    @jax.jit
+    def _draw_dev(seed):
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+        z = x0_dev + 0.01 * jax.random.normal(k1, (B, n), dtype)
+        y = 0.01 * jax.random.normal(k2, (B, m), dtype)
+        D = jnp.abs(jax.random.normal(k3, (B, m), dtype)) + 1.0
+        bc = jnp.tile(fixed_dev, (B, 1))
+        bc = bc.at[:, 0].set(jax.random.uniform(k4, (B,), dtype, 0.5, 1.5))
+        return z, y, D, bc
+
+    _seed = [0]
 
     def draw():
-        bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
-        bc[:, 0] = rng.uniform(0.5, 1.5, B)
-        z = np.tile(x0, (B, 1)) + 0.01 * rng.standard_normal((B, n))
-        y = 0.01 * rng.standard_normal((B, m))
-        D = np.abs(rng.standard_normal((B, m))) + 1.0
-        return (
-            jnp.asarray(z, dtype),
-            jnp.asarray(y, dtype),
-            jnp.asarray(D, dtype),
-            jnp.asarray(bc, dtype),
-        )
+        _seed[0] += 1
+        return _draw_dev(_seed[0])
 
     def rt_for(bc):
         return {"bc": (bc,)}
@@ -89,6 +103,15 @@ def main():
         # data-dependence between reps; tiny enough not to change branches
         return z + 1e-9 * out_scalar
 
+    def _jit_p(run):
+        if precision:
+            def run_p(*a, _run=run):
+                with jax.default_matmul_precision(precision):
+                    return _run(*a)
+
+            return jax.jit(run_p)
+        return jax.jit(run)
+
     # every step fn takes (z, y, D, bc) carry and returns a scalar
     def mk_scan(step, K):
         def run(z, y, D, bc):
@@ -100,7 +123,7 @@ def main():
             zf, outs = lax.scan(body, z, None, length=K)
             return outs.sum() + zf.sum()
 
-        return jax.jit(run)
+        return _jit_p(run)
 
     def time_fn(fn, reps=3):
         args = draw()
@@ -211,8 +234,72 @@ def main():
 
         return jax.vmap(one)(z, bc).sum()
 
-    print(f"B={B} K={K_LO}->{K_HI} backend={jax.default_backend()}", flush=True)
+    # ---- direct core factor/apply benches (batch-last layout, no
+    # custom_vmap, no data-dependent escalation rounds) -----------------
+    from pockit_tpu.solver.pallas_kkt import _make_pallas_core
+
+    core = _make_pallas_core(
+        block.interior_pad,
+        block.layout.reduced,
+        n,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def _padded_blocks(z, y, D, bc):
+        K_ii, K_ir, K_rr = vas(z, y, D, bc)
+        return core.pad_move(K_ii, K_ir, K_rr)
+
+    def step_padmove(z, y, D, bc):
+        Kt = _padded_blocks(z, y, D, bc)
+        return Kt[0].sum() + Kt[1].sum() + Kt[2].sum()
+
+    def mk_factor_scan(K):
+        def run(z, y, D, bc):
+            Kii_t, Kir_t, Krr_t = _padded_blocks(z, y, D, bc)
+
+            def body(carry, _):
+                fac, pmin, pmax = core.factor(
+                    Kii_t + carry * 1e-7, Kir_t, Krr_t
+                )
+                return carry + pmin.sum() * 1e-12, pmin.sum()
+
+            _, outs = lax.scan(body, jnp.asarray(0.0, dtype), None, length=K)
+            return outs.sum()
+
+        return _jit_p(run)
+
+    def mk_apply_scan(K):
+        def run(z, y, D, bc):
+            Kt = _padded_blocks(z, y, D, bc)
+            fac, pmin, pmax = core.factor(*Kt)
+
+            def body(carry, _):
+                x = core.apply(fac, carry)
+                return 0.5 * carry + x, x.sum()
+
+            _, outs = lax.scan(body, z, None, length=K)
+            return outs.sum()
+
+        return _jit_p(run)
+
+    def marginal_mk(name, mk):
+        lo, c_lo = time_fn(mk(K_LO))
+        hi, c_hi = time_fn(mk(K_HI))
+        per = (hi - lo) / (K_HI - K_LO)
+        print(
+            f"{name:14s} marginal={per * 1e3:8.3f} ms/call "
+            f"({per / B * 1e6:7.3f} us/lane)  "
+            f"wall K={K_LO}:{lo:6.3f}s K={K_HI}:{hi:6.3f}s "
+            f"compile={c_lo:5.1f}/{c_hi:5.1f}s",
+            flush=True,
+        )
+        return per
+
+    print(f"B={B} K={K_LO}->{K_HI} backend={jax.default_backend()} precision={precision}", flush=True)
     t_asm = marginal("assemble", step_assemble)
+    marginal("pad_move", step_padmove)
+    marginal_mk("core.factor", mk_factor_scan)
+    marginal_mk("core.apply", mk_apply_scan)
     t_an = marginal("asm+newton", step_asm_newton)
     t_ana = marginal("asm+nt+4apply", step_asm_newton_apply4)
     t_c = marginal("cfn", step_cfn)
@@ -221,8 +308,7 @@ def main():
     t_pt = marginal("phi_theta", step_phitheta)
     print(
         f"derived: newton={1e3 * (t_an - t_asm):.3f} ms  "
-        f"apply={1e3 * (t_ana - t_an) / 4:.3f} ms  "
-        f"wmv={1e3 * (t_w - t_ad + (t_ad - t_c)) / 3:.3f}~ ms",
+        f"apply_chain={1e3 * (t_ana - t_an) / 4:.3f} ms",
         flush=True,
     )
     print("done", flush=True)

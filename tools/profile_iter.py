@@ -84,6 +84,8 @@ def main():
         "nosoc": IPOptions(**{**base, "soc": False}),
         "nofb": IPOptions(**{**base, "feasibility_fallback": False}),
         "ls1": IPOptions(**{**base, "max_ls": 1}),
+        "reg1": IPOptions(**{**base, "max_reg_tries": 1}),
+        "prec_high": IPOptions(**{**base, "matmul_precision": "high"}),
         "min": IPOptions(
             **{
                 **base,

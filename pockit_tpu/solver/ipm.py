@@ -540,6 +540,13 @@ def make_ip_solver(
             E0 = _kkt_error(z, s, y, w_l, w_u, v_l, v_u, g, jty, c0, 0.0)
             newly_done = E0 <= opt.tol
             blown = ~jnp.isfinite(E0) | (jnp.max(jnp.abs(z)) > opt.diverge_threshold)
+            # lanes whose step will be discarded this iteration (frozen /
+            # newly converged / diverged): they must never drive the
+            # inertia-escalation or line-search loops — under vmap ANY lane
+            # extends a loop round for the WHOLE batch, and stale frozen
+            # lanes sit at endgame points whose factorizations fail the
+            # pivot test forever
+            active = ~(st.done | newly_done | blown)
 
             # -- barrier update --------------------------------------------
             if opt.mu_strategy == "adaptive":
@@ -652,7 +659,7 @@ def make_ip_solver(
                     pivot_rtol, delta_w_floor
                 )
                 dz, _p_fac, delta_w, reg_ok = _p_newton(
-                    K_ii0, K_ir0, K_rr0, rhs, st.dreg, step_cap
+                    K_ii0, K_ir0, K_rr0, rhs, st.dreg, step_cap, active
                 )
 
                 def chol_solve(b):
@@ -789,7 +796,7 @@ def make_ip_solver(
                     return fac, jnp.where(ok, dz, 0.0), ok
 
                 def reg_cond(carry):
-                    return (~carry[3]) & (carry[4] < opt.max_reg_tries)
+                    return (~carry[3]) & (carry[4] < opt.max_reg_tries) & active
 
                 def reg_body(carry):
                     _, _, delta, _, tries = carry
@@ -1157,7 +1164,7 @@ def make_ip_solver(
             # backtracking on the original direction for the remaining trials
             def ls_cond(carry):
                 alpha, accepted, k, _ = carry
-                return (~accepted) & (k < opt.max_ls)
+                return (~accepted) & (k < opt.max_ls) & active
 
             def ls_body(carry):
                 alpha, _, k, _ = carry
@@ -1201,7 +1208,7 @@ def make_ip_solver(
 
                 def fb_cond(carry):
                     alpha_f, ok, k = carry
-                    return (~ok) & (k < opt.max_ls)
+                    return (~ok) & (k < opt.max_ls) & active
 
                 def fb_body(carry):
                     alpha_f, _, k = carry
@@ -1318,11 +1325,26 @@ def make_ip_solver(
             # gently when the Newton step was accepted, escalate moderately
             # when it was rejected (the fallback counts as a rejection of
             # the Newton direction) — aggressive x100/÷10 jumps set up a
-            # two-cycle of wild and over-damped steps
+            # two-cycle of wild and over-damped steps.
+            #
+            # HOLD rather than decay when this iteration's first try FAILED
+            # (delta_w > st.dreg means the escalation loop had to run): the
+            # decay-retry two-cycle is harmless single-instance (IPOPT pays
+            # one extra factorization of one problem) but catastrophic
+            # batched — any one of B lanes re-failing its pivot test costs
+            # the WHOLE batch a factorization round every iteration
+            # (measured 21 ms/iter of the 68 ms body at B=8192, r4).
             newton_ok = accepted & reg_ok
+            escalated = delta_w > st.dreg
             dreg_n = jnp.where(
                 newton_ok,
-                jnp.where(delta_w / 3.0 < delta_w_floor, 0.0, delta_w / 3.0),
+                jnp.where(
+                    escalated,
+                    delta_w,  # hold the level that just worked
+                    jnp.where(
+                        delta_w / 3.0 < delta_w_floor, 0.0, delta_w / 3.0
+                    ),
+                ),
                 jnp.minimum(
                     jnp.maximum(delta_w, delta_w_floor) * 10.0, opt.delta_w_max
                 ),

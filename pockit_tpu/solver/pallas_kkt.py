@@ -648,7 +648,7 @@ def make_newton_dir(
         return core.apply(fac, b), True
 
     @custom_vmap
-    def newton_dir(K_ii, K_ir, K_rr, rhs, dreg, step_cap):
+    def newton_dir(K_ii, K_ir, K_rr, rhs, dreg, step_cap, active):
         dtype = rhs.dtype
 
         def body(carry):
@@ -669,7 +669,8 @@ def make_newton_dir(
             return fac, dz, delta_new, ok, tries + 1
 
         def cond(carry):
-            return (~carry[3]) & (carry[4] < max_reg_tries)
+            # inactive lanes (frozen/discarded steps) never escalate
+            return (~carry[3]) & (carry[4] < max_reg_tries) & active
 
         fac0, _ = _lane_factor(K_ii, K_ir, K_rr, jnp.asarray(0.0, dtype))
         fac0 = jax.tree_util.tree_map(jnp.zeros_like, fac0)
@@ -684,10 +685,13 @@ def make_newton_dir(
         return dz, fac, delta, ok
 
     @newton_dir.def_vmap
-    def _newton_rule(axis_size, in_batched, K_ii, K_ir, K_rr, rhs, dreg, step_cap):
+    def _newton_rule(
+        axis_size, in_batched, K_ii, K_ir, K_rr, rhs, dreg, step_cap, active
+    ):
         assert all(in_batched[:4]), "K blocks and rhs must be batched"
         dtype = rhs.dtype
         B = rhs.shape[0]
+        active = jnp.broadcast_to(jnp.asarray(active), (B,))
         Kii_t, Kir_t, Krr_t = core.pad_move(K_ii, K_ir, K_rr)
         eye_i = jnp.eye(ni_p, dtype=dtype)[:, :, None]
         eye_r = jnp.eye(nr_p, dtype=dtype)[:, :, None]
@@ -727,7 +731,7 @@ def make_newton_dir(
         def body(carry):
             _, _, delta, ok, tries = carry
             delta_new = jnp.where(
-                ok, delta, _schedule(delta, tries, dreg)
+                ok | ~active, delta, _schedule(delta, tries, dreg)
             )
             fac, dz, ok_new = try_delta(delta_new)
             # frozen lanes keep their values only if we re-solved them —
@@ -736,7 +740,11 @@ def make_newton_dir(
             return fac, dz, delta_new, ok | ok_new, tries + 1
 
         def cond(carry):
-            return jnp.any(~carry[3]) & (carry[4] < max_reg_tries)
+            # a failing INACTIVE lane (its step is discarded by the solver
+            # this iteration) must not buy the whole batch another
+            # factorization round — stale frozen lanes sit at endgame
+            # points that can fail the pivot test every iteration
+            return jnp.any((~carry[3]) & active) & (carry[4] < max_reg_tries)
 
         # tries == 0 -> schedule yields dreg (broadcast: dreg/step_cap may
         # arrive unbatched when they are solver constants)

@@ -67,7 +67,8 @@ class TestNewtonDir:
 
         def body(kii, kir, krr, b):
             dz, fac, delta, ok = newton(
-                kii, kir, krr, b, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32)
+                kii, kir, krr, b, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32),
+                jnp.asarray(True),
             )
             x2 = apply_one(fac, b + 0.5 * dz)  # closure-threaded factors
             return dz, x2, delta, ok
@@ -92,6 +93,7 @@ class TestNewtonDir:
             *(jnp.asarray(a[0]) for a in (K_ii, K_ir, K_rr, rhs)),
             jnp.asarray(0.0, F32),
             jnp.asarray(1e6, F32),
+            jnp.asarray(True),
         )
         assert bool(ok)
         K = _dense(interior, reduced, n, K_ii, K_ir, K_rr, 0)
@@ -109,7 +111,8 @@ class TestNewtonDir:
         assert supports(5)
         dz, _, _, ok = jax.jit(jax.vmap(
             lambda a, b, c, d: newton(
-                a, b, c, d, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32)
+                a, b, c, d, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32),
+                jnp.asarray(True),
             )
         ))(*(jnp.asarray(a) for a in (K_ii, K_ir, K_rr, rhs)))
         assert bool(jnp.all(ok))
@@ -129,7 +132,8 @@ class TestNewtonDir:
         newton, _, _ = _make(interior, reduced, n, delta_w_floor=1e-2)
         dz, _, delta, ok = jax.jit(jax.vmap(
             lambda a, b, c, d: newton(
-                a, b, c, d, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32)
+                a, b, c, d, jnp.asarray(0.0, F32), jnp.asarray(1e6, F32),
+                jnp.asarray(True),
             )
         ))(*(jnp.asarray(a) for a in (K_bad, K_ir, K_rr, rhs)))
         delta = np.asarray(delta)

@@ -169,6 +169,7 @@ def main():
             dz, fac, dw, ok = newton(
                 K_ii, K_ir, K_rr, zz,
                 jnp.asarray(0.0, dtype), jnp.asarray(1e9, dtype),
+                jnp.asarray(True),
             )
             return dz.sum()
 
@@ -180,6 +181,7 @@ def main():
             dz, fac, dw, ok = newton(
                 K_ii, K_ir, K_rr, zz,
                 jnp.asarray(0.0, dtype), jnp.asarray(1e9, dtype),
+                jnp.asarray(True),
             )
             acc = dz
             for _ in range(4):

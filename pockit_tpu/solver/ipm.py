@@ -42,6 +42,11 @@ _DEBUG_TRACE = _os.environ.get("POCKIT_IPM_DEBUG_TRACE", "").strip().lower() not
     "", "0", "false", "off", "no",
 )
 
+# dev-only: POCKIT_DUMP_KKT=/path.npz saves the first iteration's
+# assembled block-KKT inputs (batched) from the pallas path via a debug
+# callback, for offline kernel replay (tools/replay_kkt.py)
+_DUMP_KKT = _os.environ.get("POCKIT_DUMP_KKT", "").strip()
+
 _FILTER_SIZE = 24
 
 # least-squares multiplier init: largest per-lane (m, L) Jacobian that may
@@ -214,10 +219,22 @@ def make_ip_solver(
         if block is not None:
             # TPU: the fused Pallas factorization (fast Mosaic compile, one
             # HBM pass, immune to the XLA expander numerics that broke the
-            # lax block path at B>=1024 on v5e). Anywhere else (CPU, GPU):
-            # the block path — Pallas would run in interpret mode there,
-            # orders of magnitude slower.
-            mode = "pallas" if jax.default_backend() == "tpu" else "block"
+            # lax block path at B>=1024 on v5e) — IF the structure fits the
+            # 16 MB scoped-VMEM limit (wide meshes / many linked phases
+            # have reduced blocks too large for one lane tile; they take
+            # the XLA unrolled block core instead). Anywhere else (CPU,
+            # GPU): the block path — Pallas would run in interpret mode
+            # there, orders of magnitude slower.
+            if jax.default_backend() == "tpu":
+                from pockit_tpu.solver.pallas_kkt import fits_vmem
+
+                mode = (
+                    "pallas"
+                    if fits_vmem(block.interior_pad, block.layout.reduced)
+                    else "block"
+                )
+            else:
+                mode = "block"
         else:
             mode = "dense"
     use_pallas = mode == "pallas" and block is not None
@@ -658,6 +675,25 @@ def make_ip_solver(
                 _p_newton, _p_apply, _p_pcg = _pallas_for(
                     pivot_rtol, delta_w_floor
                 )
+                if _DUMP_KKT:
+
+                    def _dump_cb(it, K_ii, K_ir, K_rr, rhs_, dreg, cap,
+                                 z_, y_, D_, bc_):
+                        import numpy as _np
+
+                        if int(_np.ravel(it)[0]) == 0 and not _os.path.exists(
+                            _DUMP_KKT
+                        ):
+                            _np.savez(
+                                _DUMP_KKT, K_ii=K_ii, K_ir=K_ir, K_rr=K_rr,
+                                rhs=rhs_, dreg=dreg, cap=cap,
+                                z=z_, y=y_, D=D_, bc=bc_,
+                            )
+
+                    jax.debug.callback(
+                        _dump_cb, st.it, K_ii0, K_ir0, K_rr0, rhs,
+                        st.dreg, step_cap, z, y, D, rt["bc"][0],
+                    )
                 dz, _p_fac, delta_w, reg_ok = _p_newton(
                     K_ii0, K_ir0, K_rr0, rhs, st.dreg, step_cap, active
                 )
@@ -1327,24 +1363,19 @@ def make_ip_solver(
             # the Newton direction) — aggressive x100/÷10 jumps set up a
             # two-cycle of wild and over-damped steps.
             #
-            # HOLD rather than decay when this iteration's first try FAILED
-            # (delta_w > st.dreg means the escalation loop had to run): the
-            # decay-retry two-cycle is harmless single-instance (IPOPT pays
-            # one extra factorization of one problem) but catastrophic
-            # batched — any one of B lanes re-failing its pivot test costs
-            # the WHOLE batch a factorization round every iteration
-            # (measured 21 ms/iter of the 68 ms body at B=8192, r4).
+            # Batched note (r4): a sticky hold-the-level policy was tried
+            # here to stop marginal lanes re-buying full-batch escalation
+            # rounds every iteration; it regressed the nonconvex f32 gates
+            # (orbit diverged, isoperimetric 2x iterations) because held
+            # regularization destroys Newton quality exactly where decay
+            # matters. The batched cost is attacked structurally instead:
+            # the Pallas factor kernel retries failing blocks VMEM-locally
+            # at a per-lane bumped delta (solver/pallas_kkt.py), so an
+            # escalation almost never costs an HBM round trip.
             newton_ok = accepted & reg_ok
-            escalated = delta_w > st.dreg
             dreg_n = jnp.where(
                 newton_ok,
-                jnp.where(
-                    escalated,
-                    delta_w,  # hold the level that just worked
-                    jnp.where(
-                        delta_w / 3.0 < delta_w_floor, 0.0, delta_w / 3.0
-                    ),
-                ),
+                jnp.where(delta_w / 3.0 < delta_w_floor, 0.0, delta_w / 3.0),
                 jnp.minimum(
                     jnp.maximum(delta_w, delta_w_floor) * 10.0, opt.delta_w_max
                 ),
@@ -1353,8 +1384,10 @@ def make_ip_solver(
 
             if _DEBUG_TRACE:
                 # diagnostic mode (POCKIT_IPM_DEBUG_TRACE=1): record Newton
-                # direction internals instead of the standard row to bisect
-                # batch-size-dependent numerical anomalies
+                # direction internals [|rhs|, max|K|, |dz|, max|dz|,
+                # delta_w, step_cap] instead of the standard row, to bisect
+                # backend/batch-size-dependent numerical anomalies (this is
+                # how the r4 bf16-einsum-in-custom_vmap-rule bug was found)
                 _dK = (
                     jnp.max(jnp.abs(K_ii0))
                     if use_block
@@ -1362,12 +1395,12 @@ def make_ip_solver(
                 )
                 trace_row = jnp.stack(
                     [
-                        jnp.max(jnp.abs(rhs)),
+                        jnp.linalg.norm(rhs),
                         _dK,
+                        jnp.linalg.norm(dz),
                         jnp.max(jnp.abs(dz)),
-                        jnp.max(jnp.abs(dy)) if m else jnp.asarray(0.0, dtype),
-                        jnp.max(jnp.abs(jty)),
-                        jnp.max(jnp.abs(Jdz)) if m else jnp.asarray(0.0, dtype),
+                        delta_w,
+                        step_cap,
                     ]
                 )
             else:

@@ -43,6 +43,20 @@ from pockit_tpu.solver.structured import _tree_sum, make_block_arrow_core
 
 _BT = 128  # batch lanes per tile
 
+# dev-only ablation flags for on-chip escalation debugging: drop one
+# component of the batched acceptance test (never set in production)
+import os as _os
+
+# every einsum in this module carries an EXPLICIT precision: the one-hot
+# placement contractions and the refinement matvec run inside
+# custom_vmap batching rules, which jax stages OUTSIDE the solver's
+# ``jax.default_matmul_precision("highest")`` context — relying on the
+# ambient config silently compiled them at DEFAULT (single-pass bf16 on
+# TPU), truncating 1e5-scale rhs entries and poisoning every Newton
+# direction on chip while CPU (exact-f32 DEFAULT) stayed green. Found by
+# lowering the solver and counting `precision = [DEFAULT` dots (r4).
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -51,52 +65,6 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # in-kernel building blocks (all arrays (rows, [cols,] BT); batch in lanes)
 # ---------------------------------------------------------------------------
-
-
-def _chol_lanes(A, n_real):
-    """Unrolled LEFT-LOOKING Cholesky of an (n, n, BT) SPD batch with
-    Jacobi equilibration. Returns (L, sc, dmin, dmax); padded rows
-    (>= n_real) are excluded from the pivot extrema. Negative pivots
-    surface as nan (sqrt of a negative), matching
-    ``jnp.linalg.cholesky``.
-
-    Left-looking (column k corrected by one tree-summed dot over previous
-    columns) rather than right-looking (sequential rank-1 downdates of
-    the trailing submatrix): on near-singular Schur complements the
-    downdate chain rounds every trailing entry n times and was measured
-    to cost ~14x in backward error vs LAPACK on the LQR gate — enough to
-    stall the float32 interior point. The dot form matches LAPACK's
-    accuracy."""
-    n = A.shape[0]
-    diag = jnp.stack([A[k, k, :] for k in range(n)])  # (n, BT)
-    sc = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
-    cols = []
-    dmin = jnp.full((A.shape[2],), jnp.inf, A.dtype)
-    dmax = jnp.full((A.shape[2],), -jnp.inf, A.dtype)
-    for k in range(n):
-        # column k of the equilibrated matrix M = diag(sc) A diag(sc)
-        v = A[:, k, :] * sc * sc[k][None, :]  # (n, BT)
-        if k:
-            v = v - _tree_sum(
-                [cols[j] * cols[j][k, :][None, :] for j in range(k)]
-            )
-        dk = jnp.sqrt(v[k, :])  # (BT,)
-        if k < n_real:
-            dmin = jnp.minimum(dmin, dk)
-            dmax = jnp.maximum(dmax, dk)
-        inv = 1.0 / dk
-        # rows > k; built with iota (a captured numpy constant is illegal
-        # inside a pallas kernel)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-        mask = (rows > k).astype(A.dtype)
-        col = v * inv[None, :] * mask
-        # row k = dk, written via an elementwise select (``.at[k].set``
-        # emits a scatter primitive, which Mosaic cannot lower inside a
-        # kernel); rows <= k of ``col`` are already zero
-        row_k = (rows == k).astype(A.dtype)
-        cols.append(col + row_k * dk[None, :])
-    L = jnp.stack(cols, axis=1)  # column k -> L[:, k, :]
-    return L, sc, dmin, dmax
 
 
 def _fwd_sub(L, B):
@@ -145,31 +113,192 @@ def _blk_solve_lanes(L, sc, B):
 # ---------------------------------------------------------------------------
 
 
+def scoped_vmem_estimate(interior, reduced) -> int:
+    """Rough upper bound (bytes) on the factor kernel's scoped-VMEM
+    footprint for one lane tile: block windows (b-varying ones double-
+    buffered by Mosaic's pipeline) plus an empirical cubic stack term for
+    the unrolled in-kernel Cholesky temporaries. Calibrated on v5e
+    (16 MB scoped limit): the flagship LQR structure (ni_p=16, nr_p=32)
+    compiles and runs; (ni_p=24, nr_p=40) fails at a reported 19.25M.
+    The model intentionally over-predicts — denying Pallas costs
+    performance (XLA unrolled fallback), never correctness."""
+    interior = np.asarray(interior)
+    ni_p = _ceil_to(interior.shape[1], 8)
+    nr_p = _ceil_to(len(np.asarray(reduced)), 8)
+    mx = max(ni_p, nr_p)
+    win = 4 * _BT * (
+        2 * (2 * ni_p * ni_p + 2 * ni_p * nr_p + 2 * ni_p)
+        + 3 * nr_p * nr_p
+        + mx * mx
+        + 8 * mx
+    )
+    stack = 256 * (ni_p**3 + nr_p**3)
+    return win + stack
+
+
+# conservative budget under the 16 MB scoped-vmem limit
+_SCOPED_VMEM_BUDGET = 15_500_000
+
+
+def fits_vmem(interior, reduced) -> bool:
+    """Whether the fused factor kernel is expected to fit the TPU's
+    scoped-VMEM limit for this block structure (see
+    :func:`scoped_vmem_estimate`). The solver's ``kkt_solver="auto"``
+    consults this to fall back to the XLA unrolled block core for large
+    reduced blocks (wide meshes / many linked phases)."""
+    return scoped_vmem_estimate(interior, reduced) <= _SCOPED_VMEM_BUDGET
+
+
+def _eye_lanes(n, dtype):
+    """(n, n, 1) identity mask built with iota (captured numpy constants
+    are illegal inside a pallas kernel)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    return (r == c).astype(dtype)
+
+
 def _factor_kernel(
-    nb, ni_p, nr_p, ni_real, nr_real,
-    kii_ref, kir_ref, krr_ref,
+    nb, ni_p, nr_p, ni_real, nr_real, pivot_rtol, delta_floor, attempts,
+    kii_ref, kir_ref, krr_ref, dl_ref,
     li_ref, sci_ref, xir_ref, lr_ref, scr_ref, piv_ref,
-    s_scr, piv_scr,
+    s_scr, piv_scr, du_scr, lb_scr, scb_scr, pb_scr, db_scr,
 ):
+    """One lane-tile of the block-arrow factorization with BLOCK-LOCAL
+    inertia escalation: a block whose equilibrated Cholesky fails the
+    per-lane pivot test is re-factored IN VMEM at a bumped per-lane delta
+    (``attempts - 1`` retries, x10 ladder from ``delta_floor``), so an
+    escalation costs microseconds of tile-local recompute instead of a
+    full-batch HBM factorization round. Per-block deltas are a valid PSD
+    inertia perturbation (uniform delta*I is not required for a descent
+    direction); the max delta actually used is reported per lane in
+    ``piv_ref[2]`` and the solver's saddle-point refinement targets the
+    true system anyway. The base delta arrives per lane in ``dl_ref``
+    (the kernel adds it to the diagonal — the (B, nb, ni, ni) delta
+    materialization that preceded the kernel is gone)."""
     b = pl.program_id(1)
     dtype = kii_ref.dtype
 
     @pl.when(b == 0)
     def _init():
-        s_scr[:] = krr_ref[:]
-        piv_scr[0, :] = jnp.full((kii_ref.shape[-1],), jnp.inf, dtype)
-        piv_scr[1, :] = jnp.full((kii_ref.shape[-1],), -jnp.inf, dtype)
+        BT = kii_ref.shape[-1]
+        piv_scr[0, :] = jnp.full((BT,), jnp.inf, dtype)
+        piv_scr[1, :] = jnp.full((BT,), -jnp.inf, dtype)
+        du_scr[0, :] = dl_ref[0, :]
+
+    def _chol_into(col_fn, diag_fn, nn, n_real, d):
+        """Unrolled LEFT-LOOKING Cholesky with Jacobi equilibration of an
+        (nn, nn, BT) SPD batch, batch in lanes. Left-looking (column k
+        corrected by one tree-summed dot over previous columns) rather
+        than right-looking sequential downdates: the downdate chain
+        rounds every trailing entry n times and was measured ~14x worse
+        in backward error than LAPACK on near-singular Schur complements
+        — enough to stall the float32 interior point. Negative pivots
+        surface as nan (sqrt of a negative); padded rows (>= n_real) are
+        excluded from the pivot extrema.
+
+        REF-WRITING: columns are written into ``lb_scr`` and previous
+        columns read BACK from it, so the factorization holds only one
+        column of temporaries on the Mosaic stack (a value-returning form
+        kept every column live and blew the 16 MB scoped-vmem limit once
+        the retry body duplicated it). ``col_fn(k, d)``/``diag_fn(d)``
+        yield column k / the diagonal of A + d*I so no (nn, nn, BT) copy
+        of A is materialized either. Leaves (L, sc) in lb/scb and
+        (dmin, dmax) in pb."""
+        diag = diag_fn(d)  # (nn, BT)
+        sc = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+        scb_scr[:nn, :] = sc
+        BT = diag.shape[-1]
+        dmin = jnp.full((BT,), jnp.inf, dtype)
+        dmax = jnp.full((BT,), -jnp.inf, dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
+        for k in range(nn):
+            v = col_fn(k, d) * sc * sc[k][None, :]  # (nn, BT)
+            if k:
+                v = v - _tree_sum(
+                    [
+                        lb_scr[:nn, j, :] * lb_scr[k, j, :][None, :]
+                        for j in range(k)
+                    ]
+                )
+            dk = jnp.sqrt(v[k, :])
+            if k < n_real:
+                dmin = jnp.minimum(dmin, dk)
+                dmax = jnp.maximum(dmax, dk)
+            inv = 1.0 / dk
+            mask = (rows > k).astype(dtype)
+            row_k = (rows == k).astype(dtype)
+            lb_scr[:nn, k, :] = v * inv[None, :] * mask + row_k * dk[None, :]
+        pb_scr[0, :] = dmin
+        pb_scr[1, :] = dmax
+
+    def _attempted_chol(col_fn, diag_fn, nn, n_real, base_d):
+        """Factor A + d*I with block-local retries: failing lanes bump
+        their d and the WHOLE tile re-factors in VMEM (lanes whose d is
+        unchanged recompute identical values, so no select-merge is
+        needed). Leaves the accepted (L, sc, dmin, dmax, d) in the
+        lb/scb/pb/db scratch (sliced to nn)."""
+        _chol_into(col_fn, diag_fn, nn, n_real, base_d)
+        db_scr[0, :] = base_d
+
+        # retries in a fori_loop: the body's stack is allocated once
+        def _retry_body(_a, carry):
+            dmin_c = pb_scr[0, :]
+            dmax_c = pb_scr[1, :]
+            need = ~(
+                jnp.isfinite(dmin_c)
+                & jnp.isfinite(dmax_c)
+                & (dmin_c > pivot_rtol * dmax_c)
+            )
+
+            @pl.when(jnp.any(need))
+            def _retry():
+                d_cur = db_scr[0, :]
+                d_new = jnp.where(
+                    need,
+                    jnp.where(
+                        d_cur < delta_floor, delta_floor, d_cur * 10.0
+                    ),
+                    d_cur,
+                )
+                _chol_into(col_fn, diag_fn, nn, n_real, d_new)
+                db_scr[0, :] = d_new
+
+            return carry
+
+        if attempts > 1:
+            jax.lax.fori_loop(0, attempts - 1, _retry_body, 0)
 
     @pl.when(b < nb)
     def _block():
-        K_ii = kii_ref[0]
-        K_ir = kir_ref[0]
-        L, sc, dmin, dmax = _chol_lanes(K_ii, ni_real)
-        t = _fwd_sub(L, K_ir * sc[:, None, :])  # L^{-1} sc K_ir
+        base_d = dl_ref[0, :]
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (ni_p, 1), 0)
+
+        # column k / diagonal of K_ii + d*I read straight off the input
+        # ref — no (ni_p, ni_p, BT) value copy on the Mosaic stack
+        def col_ii(k, d):
+            onk = (rows_i == k).astype(dtype)
+            return kii_ref[0, :, k, :] + onk * d[None, :]
+
+        def diag_ii(d):
+            return (
+                jnp.stack([kii_ref[0, k, k, :] for k in range(ni_p)])
+                + d[None, :]
+            )
+
+        _attempted_chol(col_ii, diag_ii, ni_p, ni_real, base_d)
+        L = lb_scr[:ni_p, :ni_p, :]
+        sc = scb_scr[:ni_p, :]
+        t = _fwd_sub(L, kir_ref[0] * sc[:, None, :])  # L^{-1} sc K_ir
         X = _bwd_sub(L, t) * sc[:, None, :]  # K_ii^{-1} K_ir
         li_ref[0] = L
         sci_ref[0] = sc
         xir_ref[0] = X
+
+        @pl.when(b == 0)
+        def _schur_init():
+            eye_r = _eye_lanes(nr_p, dtype)
+            s_scr[:] = krr_ref[:] + eye_r * base_d[None, None, :]
+
         # Schur accumulation in GRAM (syrk) form: S -= t^T t with the
         # half-solve t, NOT K_ir^T X. Mathematically identical, but the
         # Gram form's float32 error is a consistent PSD perturbation of S
@@ -181,24 +310,50 @@ def _factor_kernel(
         # cancellation-heavy contraction.
         # NOTE two-step indexing (t[i] then broadcast): mixing an int index
         # with None (t[i, :, None, :]) routes through JAX's general gather
-        # lowering, and Mosaic cannot lower >2D gathers inside a kernel
-        rows = [t[i] for i in range(ni_p)]
-        P = [r[:, None, :] * r[None, :, :] for r in rows]
-        s_scr[:] = s_scr[:] - _tree_sum(P)
-        piv_scr[0, :] = jnp.minimum(piv_scr[0, :], dmin)
-        piv_scr[1, :] = jnp.maximum(piv_scr[1, :], dmax)
+        # lowering, and Mosaic cannot lower >2D gathers inside a kernel.
+        # The Gram sum runs ROW BY ROW (row r of S gets a full ni_p-term
+        # tree sum of (nr_p, BT) slabs, written straight into the VMEM
+        # scratch) — materializing outer products of S puts O(chunk *
+        # nr_p^2 * BT) on the Mosaic stack and blew the 16 MB scoped-vmem
+        # limit at nr_p=40; the row form peaks at ni_p * nr_p * BT live
+        # and its per-entry tree is the FULL ni_p-leaf tree (better
+        # summation error than any chunked variant)
+        for r in range(nr_p):
+            P = [t[i] * t[i][r, :][None, :] for i in range(ni_p)]
+            s_scr[r, :, :] = s_scr[r, :, :] - _tree_sum(P)
+        piv_scr[0, :] = jnp.minimum(piv_scr[0, :], pb_scr[0, :])
+        piv_scr[1, :] = jnp.maximum(piv_scr[1, :], pb_scr[1, :])
+        du_scr[0, :] = jnp.maximum(du_scr[0, :], db_scr[0, :])
 
     @pl.when(b == nb)
     def _schur():
-        L_r, sc_r, dmin, dmax = _chol_lanes(s_scr[:], nr_real)
-        lr_ref[:] = L_r
-        scr_ref[:] = sc_r
-        pmin = jnp.minimum(piv_scr[0, :], dmin)
-        pmax = jnp.maximum(piv_scr[1, :], dmax)
+        # reduced block already carries the base delta (added at Schur
+        # init); retries add the EXTRA bump on top of the accumulated
+        # Schur complement. Columns/diagonal read straight off the VMEM
+        # scratch accumulator — no (nr_p, nr_p, BT) stack copy.
+        rows_r = jax.lax.broadcasted_iota(jnp.int32, (nr_p, 1), 0)
+
+        def col_s(k, d):
+            onk = (rows_r == k).astype(dtype)
+            return s_scr[:, k, :] + onk * d[None, :]
+
+        def diag_s(d):
+            return (
+                jnp.stack([s_scr[k, k, :] for k in range(nr_p)])
+                + d[None, :]
+            )
+
+        zero_d = jnp.zeros((kii_ref.shape[-1],), dtype)
+        _attempted_chol(col_s, diag_s, nr_p, nr_real, zero_d)
+        lr_ref[:] = lb_scr[:nr_p, :nr_p, :]
+        scr_ref[:] = scb_scr[:nr_p, :]
+        pmin = jnp.minimum(piv_scr[0, :], pb_scr[0, :])
+        pmax = jnp.maximum(piv_scr[1, :], pb_scr[1, :])
         finite = jnp.isfinite(pmin) & jnp.isfinite(pmax)
         nan = jnp.full_like(pmin, jnp.nan)
         piv_ref[0, :] = jnp.where(finite, pmin, nan)
         piv_ref[1, :] = jnp.where(finite, pmax, nan)
+        piv_ref[2, :] = jnp.maximum(du_scr[0, :], db_scr[0, :])
 
 
 def _apply_down_kernel(
@@ -247,12 +402,30 @@ class PallasCore(NamedTuple):
     nr_p: int
 
 
-def _make_pallas_core(interior, reduced, n, interpret=False):
+def _make_pallas_core(
+    interior,
+    reduced,
+    n,
+    interpret=False,
+    pivot_rtol=None,
+    delta_w_floor=None,
+    # block-local in-kernel retry ladder depth. SHIPS DARK (1 = off): the
+    # per-block deltas it applies need a block-local acceptance test and
+    # a per-block refinement matvec before they are production-safe — the
+    # current global pivot test + uniform-delta matvec mis-handle a
+    # factorization whose blocks sit at different levels (BENCH_NOTES r4)
+    attempts=1,
+):
     interior = np.asarray(interior)
     reduced = np.asarray(reduced)
     nb, ni = interior.shape
     nr = len(reduced)
     ni_p, nr_p = _ceil_to(ni, 8), _ceil_to(nr, 8)
+    eps32 = float(np.finfo(np.float32).eps)
+    if pivot_rtol is None:
+        pivot_rtol = 2.0 * float(np.sqrt(eps32))
+    if delta_w_floor is None:
+        delta_w_floor = 10.0 * eps32
 
     # numpy, not jnp.asarray: this factory may run inside an active trace
     # (ipm builds it per-dtype at trace time); jnp.asarray there returns a
@@ -302,21 +475,33 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
                 [jnp.zeros((nr,), dtype), jnp.ones((nr_p - nr,), dtype)]
             )
             K_rr = K_rr + jnp.diag(pad_eye_r)[None]
-        return (
+        out = (
             jnp.moveaxis(K_ii, 0, -1),
             jnp.moveaxis(K_ir, 0, -1),
             jnp.moveaxis(K_rr, 0, -1),
         )
+        if _os.environ.get("POCKIT_PALLAS_PM_BARRIER", "").strip():
+            out = jax.lax.optimization_barrier(out)
+        return out
 
-    def factor(K_ii, K_ir, K_rr):
+    def factor(K_ii, K_ir, K_rr, delta):
         """Inputs batch-last padded: (nb, ni_p, ni_p, B), (nb, ni_p, nr_p,
-        B), (nr_p, nr_p, B). Returns (fac, p_min (B,), p_max (B,))."""
+        B), (nr_p, nr_p, B); ``delta`` (B,) per-lane base regularization
+        (added to the diagonal IN KERNEL). Returns (fac, p_min (B,),
+        p_max (B,), delta_used (B,)) — delta_used is the per-lane max
+        level after block-local escalation."""
         dtype = K_ii.dtype
         B = K_ii.shape[-1]
         T = B // _BT
         grid = (T, nb + 1)
-        kernel = functools.partial(_factor_kernel, nb, ni_p, nr_p, ni, nr)
+        kernel = functools.partial(
+            _factor_kernel,
+            nb, ni_p, nr_p, ni, nr,
+            float(pivot_rtol), float(delta_w_floor), int(attempts),
+        )
         bmin = lambda b: jnp.minimum(b, nb - 1)
+        mx = max(ni_p, nr_p)
+        delta2 = delta.reshape(1, B).astype(dtype)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -335,6 +520,9 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
                     (nr_p, nr_p, _BT),
                     lambda t, b: (0, 0, t),
                     memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=[
@@ -362,7 +550,7 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
                     (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (2, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                    (3, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
                 ),
             ],
             out_shape=[
@@ -371,17 +559,22 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
                 jax.ShapeDtypeStruct((nb, ni_p, nr_p, B), dtype),
                 jax.ShapeDtypeStruct((nr_p, nr_p, B), dtype),
                 jax.ShapeDtypeStruct((nr_p, B), dtype),
-                jax.ShapeDtypeStruct((2, B), dtype),
+                jax.ShapeDtypeStruct((3, B), dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nr_p, nr_p, _BT), dtype),
                 pltpu.VMEM((2, _BT), dtype),
+                pltpu.VMEM((1, _BT), dtype),
+                pltpu.VMEM((mx, mx, _BT), dtype),
+                pltpu.VMEM((mx, _BT), dtype),
+                pltpu.VMEM((2, _BT), dtype),
+                pltpu.VMEM((1, _BT), dtype),
             ],
             interpret=interpret,
-        )(K_ii, K_ir, K_rr)
+        )(K_ii, K_ir, K_rr, delta2)
         L_i, sc_i, X_ir, L_r, sc_r, piv = out
         fac = (L_i, sc_i, X_ir, K_ir, L_r, sc_r)
-        return fac, piv[0], piv[1]
+        return fac, piv[0], piv[1], piv[2]
 
     def apply(fac, rhs):
         """fac batch-last padded (B_pad lanes); rhs (B, n) -> x (B, n)."""
@@ -395,8 +588,8 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
         Gi = jnp.asarray(G_int, dtype)
         Gr = jnp.asarray(G_red, dtype)
         # gather + pad + batch-last transpose as one einsum each
-        b_i = jnp.einsum("Bn,bin->biB", rhs, Gi)  # (nb, ni_p, B)
-        b_r = jnp.einsum("Bn,rn->rB", rhs, Gr)  # (nr_p, B)
+        b_i = _einsum("Bn,bin->biB", rhs, Gi)  # (nb, ni_p, B)
+        b_r = _einsum("Bn,rn->rB", rhs, Gr)  # (nr_p, B)
 
         xbi, rred = pl.pallas_call(
             _apply_down_kernel,
@@ -488,9 +681,7 @@ def _make_pallas_core(interior, reduced, n, interpret=False):
 
         # placement (scatter inverse) + batch-leading transpose, one
         # einsum each; phantom/pad rows are zero in G and vanish
-        x = jnp.einsum("biB,bin->Bn", xi, Gi) + jnp.einsum(
-            "rB,rn->Bn", xr, Gr
-        )
+        x = _einsum("biB,bin->Bn", xi, Gi) + _einsum("rB,rn->Bn", xr, Gr)
         return x[:B_out]
 
     # jit-wrapped: each pallas_call re-traces its kernel body (O(n^2)
@@ -543,7 +734,14 @@ def make_newton_dir(
     reduced = np.asarray(reduced)
     nb, ni = interior.shape
     nr = len(reduced)
-    core = _make_pallas_core(interior, reduced, n, interpret=interpret)
+    core = _make_pallas_core(
+        interior,
+        reduced,
+        n,
+        interpret=interpret,
+        pivot_rtol=pivot_rtol,
+        delta_w_floor=delta_w_floor,
+    )
     # per-lane fallback pinned to the lax primitives: custom_vmap stages the
     # per-lane fn into a jaxpr on EVERY call (batched or not), so the
     # "unrolled" form would add its full O(k^2)-op trace to every solver
@@ -578,19 +776,19 @@ def make_newton_dir(
         *factored* (perturbed) system wins it back."""
         Gi = jnp.asarray(G2_int, x.dtype)
         Gr = jnp.asarray(G2_red, x.dtype)
-        x_i = jnp.einsum("...n,kin->...ki", x, Gi)  # phantom slots read 0
-        x_r = jnp.einsum("...n,rn->...r", x, Gr)
+        x_i = _einsum("...n,kin->...ki", x, Gi)  # phantom slots read 0
+        x_r = _einsum("...n,rn->...r", x, Gr)
         y_i = (
-            jnp.einsum("...kij,...kj->...ki", K_ii, x_i)
-            + jnp.einsum("...kij,...j->...ki", K_ir, x_r)
+            _einsum("...kij,...kj->...ki", K_ii, x_i)
+            + _einsum("...kij,...j->...ki", K_ir, x_r)
             + delta[..., None, None] * x_i
         )
         y_r = (
-            jnp.einsum("...kij,...ki->...j", K_ir, x_i)
-            + jnp.einsum("...ij,...j->...i", K_rr, x_r)
+            _einsum("...kij,...ki->...j", K_ir, x_i)
+            + _einsum("...ij,...j->...i", K_rr, x_r)
             + delta[..., None] * x_r
         )
-        return jnp.einsum("...ki,kin->...n", y_i, Gi) + jnp.einsum(
+        return _einsum("...ki,kin->...n", y_i, Gi) + _einsum(
             "...r,rn->...n", y_r, Gr
         )
 
@@ -693,19 +891,20 @@ def make_newton_dir(
         B = rhs.shape[0]
         active = jnp.broadcast_to(jnp.asarray(active), (B,))
         Kii_t, Kir_t, Krr_t = core.pad_move(K_ii, K_ir, K_rr)
-        eye_i = jnp.eye(ni_p, dtype=dtype)[:, :, None]
-        eye_r = jnp.eye(nr_p, dtype=dtype)[:, :, None]
 
         B_pad = Kii_t.shape[-1]  # lane-padded by pad_move
 
-        def try_delta(delta):  # delta (B,)
+        def try_delta(delta):  # delta (B,) base level; kernel may escalate
             delta_p = jnp.pad(delta, (0, B_pad - B))
-            fac, p_min, p_max = core.factor(
-                Kii_t + eye_i[None] * delta_p[None, None, None, :],
-                Kir_t,
-                Krr_t + eye_r * delta_p[None, None, :],
+            # the kernel adds delta on the diagonal AND retries failing
+            # blocks VMEM-locally at a bumped per-lane level (block-local
+            # escalation) — no (B, nb, ni, ni) delta materialization, and
+            # marginal pivot failures no longer cost an HBM round
+            fac, p_min, p_max, d_used = core.factor(
+                Kii_t, Kir_t, Krr_t, delta_p
             )
             p_min, p_max = p_min[:B], p_max[:B]
+            d_used = d_used[:B]
             chol_ok = (
                 jnp.isfinite(p_min)
                 & jnp.isfinite(p_max)
@@ -713,7 +912,7 @@ def make_newton_dir(
             )
             dz = core.apply(fac, rhs)
             for _ in range(refine_steps):
-                r = rhs - _ba_mv(K_ii, K_ir, K_rr, delta, dz)
+                r = rhs - _ba_mv(K_ii, K_ir, K_rr, d_used, dz)
                 dz_t = dz + core.apply(fac, r)
                 dz = jnp.where(
                     jnp.all(jnp.isfinite(dz_t), axis=1, keepdims=True),
@@ -726,18 +925,21 @@ def make_newton_dir(
                 & (jnp.linalg.norm(dz, axis=1) <= step_cap)
             )
             dz = jnp.where(ok[:, None], dz, 0.0)
-            return fac, dz, ok
+            return fac, dz, ok, d_used
 
         def body(carry):
             _, _, delta, ok, tries = carry
+            # outer escalation rounds: dreg -> floor -> x10 ladder
+            # (_schedule mirrors solver/ipm.py reg_body; with in-kernel
+            # retries enabled the floor rung is redundant but harmless)
             delta_new = jnp.where(
                 ok | ~active, delta, _schedule(delta, tries, dreg)
             )
-            fac, dz, ok_new = try_delta(delta_new)
+            fac, dz, ok_new, d_used = try_delta(delta_new)
             # frozen lanes keep their values only if we re-solved them —
             # simplest correct policy: re-solve everything each round
             # (rounds beyond the first are rare)
-            return fac, dz, delta_new, ok | ok_new, tries + 1
+            return fac, dz, jnp.where(ok, delta, d_used), ok | ok_new, tries + 1
 
         def cond(carry):
             # a failing INACTIVE lane (its step is discarded by the solver
@@ -746,12 +948,11 @@ def make_newton_dir(
             # points that can fail the pivot test every iteration
             return jnp.any((~carry[3]) & active) & (carry[4] < max_reg_tries)
 
-        # tries == 0 -> schedule yields dreg (broadcast: dreg/step_cap may
-        # arrive unbatched when they are solver constants)
+        # first (and almost always only) round at the per-lane memory level
         delta0 = jnp.broadcast_to(jnp.asarray(dreg, dtype), (B,))
-        fac, dz, ok = try_delta(delta0)
+        fac, dz, ok, d_used = try_delta(delta0)
         fac, dz, delta, ok, _ = jax.lax.while_loop(
-            cond, body, (fac, dz, delta0, ok, jnp.asarray(1, jnp.int32))
+            cond, body, (fac, dz, d_used, ok, jnp.asarray(1, jnp.int32))
         )
         out_batched = (
             True,

@@ -184,6 +184,20 @@ def pattern_violation(K, layout: StructuredLayout) -> jax.Array:
     return jnp.max(jnp.where(allowed, 0.0, jnp.abs(K)))
 
 
+# contraction ops in this module carry an EXPLICIT matmul precision: the
+# block core also runs inside pallas_kkt's custom_vmap rules and inside
+# user-called shard_map programs, both of which jax stages OUTSIDE the
+# solver's default_matmul_precision("highest") context — on TPU the
+# ambient DEFAULT is single-pass bf16, which destroys the
+# cancellation-heavy Schur contraction (see the r4 notes in BENCH_NOTES)
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot(a, b):
+    """Vector dot at explicit HIGHEST precision (CG coefficients)."""
+    return jnp.einsum("i,i->", a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _tree_sum(terms):
     """Pairwise summation (log-depth rounding instead of linear); matters
     for float32 accuracy of the unrolled factorizations below."""
@@ -324,7 +338,7 @@ def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
         )
         X_ir = _blk_solve(L_i_safe, sc_i, K_ir)  # K_ii^{-1} K_ir
 
-        S = K_rr - jnp.einsum("bik,bil->kl", K_ir, X_ir)
+        S = K_rr - _einsum("bik,bil->kl", K_ir, X_ir)
         sc_r = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
         S_t = S * sc_r[:, None] * sc_r[None, :]
         L_r = _chol(S_t)
@@ -348,11 +362,11 @@ def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
 
         x_bi = _blk_solve(L_i, sc_i, b_i[:, :, None])[:, :, 0]
 
-        r_red = b_r - jnp.einsum("bik,bi->k", K_ir, x_bi)
+        r_red = b_r - _einsum("bik,bi->k", K_ir, x_bi)
         t = _tri(L_r, (sc_r * r_red)[:, None], lower=True)
         x_r = sc_r * _tri(L_r, t, lower=False)[:, 0]
 
-        x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
+        x_i = x_bi - _einsum("bik,k->bi", X_ir, x_r)
         x = jnp.zeros_like(rhs)
         x = x.at[interior.ravel()].set(x_i.ravel())  # phantom index dropped
         x = x.at[reduced].set(x_r)
@@ -373,17 +387,17 @@ def make_pcg_apply(apply, n_steps: int):
         r = rhs - matvec(x)
         z = apply(factors, r)
         p = z
-        rz = r @ z
+        rz = _dot(r, z)
 
         def body(_, carry):
             x, r, p, rz = carry
             Kp = matvec(p)
-            denom = p @ Kp
+            denom = _dot(p, Kp)
             alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
             x = x + alpha * p
             r = r - alpha * Kp
             z = apply(factors, r)
-            rz_new = r @ z
+            rz_new = _dot(r, z)
             beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
             p = z + beta * p
             return x, r, p, rz_new
@@ -554,8 +568,8 @@ def make_sharded_structured_solve(
         x_bi = blk_solve(b_i[:, :, None])[:, :, 0]
 
         # partial Schur contributions; ONE psum pair crosses devices
-        S_part = jnp.einsum("bik,bil->kl", K_ir, X_ir)
-        r_part = jnp.einsum("bik,bi->k", K_ir, x_bi)
+        S_part = _einsum("bik,bil->kl", K_ir, X_ir)
+        r_part = _einsum("bik,bi->k", K_ir, x_bi)
         S = K[reduced[:, None], reduced[None, :]] - jax.lax.psum(S_part, axis)
         r_red = rhs[reduced] - jax.lax.psum(r_part, axis)
 
@@ -564,7 +578,7 @@ def make_sharded_structured_solve(
         t = _tri(L_r, (sc_r * r_red)[:, None], lower=True)
         x_r = sc_r * _tri(L_r, t, lower=False)[:, 0]
 
-        x_i = x_bi - jnp.einsum("bik,k->bi", X_ir, x_r)
+        x_i = x_bi - _einsum("bik,k->bi", X_ir, x_r)
         x_local = jnp.zeros_like(rhs).at[my_interior.ravel()].set(x_i.ravel())
         # sum local interior pieces; add the (replicated) reduced part once
         x = jax.lax.psum(x_local, axis) + jnp.zeros_like(rhs).at[reduced].set(x_r)

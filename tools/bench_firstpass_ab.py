@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""A/B the drained-bench first-pass solver configuration on chip.
+
+The headline bench's first pass runs the FULL globalized iteration body;
+the r4 profile shows SOC + feasibility fallback + deep backtracking cost
+~7-8 ms of the ~68 ms body yet never fire on the warm LQR batch (every
+lane accepts the first or second trial). A lean first pass (soc off,
+fallback off, shorter ls) keeps correctness because the drain rounds
+retain the full machinery and re-solve any lane the first pass failed.
+
+Prints one line per config: wall, solves/s, converged_frac, parity err,
+mean iters. Usage: python tools/bench_firstpass_ab.py [B] [configs...]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+
+    from bench import build_lqr
+    from pockit_tpu.optimizer import ipm
+    from pockit_tpu.optimizer._common import preprocess
+    from pockit_tpu.solver import IPOptions
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    only = set(sys.argv[2:])
+
+    system, phase, guess = build_lqr()
+    x0, _ = preprocess(system, [guess, [0.0]])
+    compiled = system.compiled
+    x0b = jnp.asarray(np.tile(x0, (B, 1)))
+    rng = np.random.default_rng(0)
+    J1 = 0.2319139744522318
+
+    def draw_bc():
+        bc = np.tile(compiled.phases[0].fixed_vals, (B, 1))
+        bc[:, 0] = rng.uniform(0.5, 1.5, B)
+        return bc
+
+    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
+    configs = {
+        "r3_first5": IPOptions(tol=5e-6, max_iter=5, refine_steps=3, max_ls=8),
+        "lean5": IPOptions(
+            tol=5e-6, max_iter=5, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False,
+        ),
+        "lean4": IPOptions(
+            tol=5e-6, max_iter=4, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False,
+        ),
+        "lean6": IPOptions(
+            tol=5e-6, max_iter=6, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False,
+        ),
+    }
+
+    for name, opts_fast in configs.items():
+        if only and name not in only:
+            continue
+
+        def solve_all(bc):
+            return ipm.solve_batch_drained(
+                system,
+                x0b,
+                bc_overrides=(jnp.asarray(bc),),
+                optimizer_options=opts_drain,
+                first_pass_options=opts_fast,
+                drain_frac=8,
+                max_drain_rounds=4,
+                return_first_pass_mask=True,
+            )
+
+        t0 = time.time()
+        solve_all(draw_bc())
+        comp = time.time() - t0
+        walls, parity, conv, iters, ff = [], [], [], [], []
+        for _ in range(3):
+            bc = draw_bc()
+            t0 = time.time()
+            status, obj, its, _, done1 = solve_all(bc)
+            status = np.asarray(status)
+            walls.append(time.time() - t0)
+            conv.append(float((status == 0).mean()))
+            parity.append(
+                float(np.max(np.abs(np.asarray(obj) - J1 * bc[:, 0] ** 2)))
+            )
+            iters.append(float(np.asarray(its).mean()))
+            ff.append(float(np.asarray(done1).mean()))
+        dt = float(np.median(walls))
+        print(
+            json.dumps(
+                {
+                    "config": name,
+                    "wall_s": round(dt, 4),
+                    "solves_per_s": round(B / dt, 1),
+                    "converged_frac": round(float(np.mean(conv)), 5),
+                    "parity_err": float(np.max(parity)),
+                    "mean_iters": round(float(np.mean(iters)), 2),
+                    "first_pass_frac": round(float(np.mean(ff)), 4),
+                    "compile_s": round(comp, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

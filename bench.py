@@ -47,6 +47,32 @@ def build_lqr():
     return system, phase, guess
 
 
+def bench_options():
+    """The headline two-stage drain configuration (shared with
+    tools/export_bench_artifacts.py so AOT artifacts match).
+
+    First pass: the batched while_loop runs to the SLOWEST lane and the
+    iteration histogram at B=16384 is 97.3% done by 4 — every extra
+    first-pass iteration costs the whole batch ~0.14 s to carry a
+    vanishing tail the fused drain rounds finish at 1/8 width. The warm
+    LQR batch never fires SOC / the feasibility fallback / deep
+    backtracking, yet under vmap every lane pays for them each trial
+    round — a LEAN first pass (soc/fallback off, short line search)
+    measured +9% headline over the r3 config (tools/bench_firstpass_ab,
+    r4: lean4 12,212/s vs r3_first5 11,242/s, converged_frac 1.0 both);
+    the drain rounds retain the full globalization machinery, so any
+    lane the lean pass cannot finish is re-solved with every feature on.
+    """
+    from pockit_tpu.solver import IPOptions
+
+    opts_fast = IPOptions(
+        tol=5e-6, max_iter=4, refine_steps=3, max_ls=4,
+        soc=False, feasibility_fallback=False,
+    )
+    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
+    return opts_fast, opts_drain
+
+
 def main():
     import jax
 
@@ -79,18 +105,7 @@ def main():
         bc[:, 0] = rng.uniform(0.5, 1.5, B)
         return bc
 
-    # two-stage drain (library implementation, ipm.solve_batch_drained):
-    # short first pass over the full batch, then compact the unconverged
-    # stragglers into a small fixed-size batch and finish them there — the
-    # while_loop's wall time follows the worst lane, so letting a few
-    # stragglers hold 4096 lanes hostage wastes the chip
-    # first-pass iteration budget: the batched while_loop runs to the
-    # SLOWEST lane, and the iteration histogram at B=16384 is 97.3% done
-    # by 4, 99.7% by 5 — every extra first-pass iteration costs the whole
-    # batch ~0.14 s to carry a vanishing tail the fused drain round
-    # finishes at 1/8 width
-    opts_fast = IPOptions(tol=5e-6, max_iter=5, refine_steps=3, max_ls=8)
-    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
+    opts_fast, opts_drain = bench_options()
 
     # AOT artifacts (tools/export_bench_artifacts.py): a committed
     # StableHLO export of the two solver programs skips their trace cost

@@ -23,12 +23,10 @@ def main():
     Bd = max(B // 8, 8)
 
     import bench
-    from pockit_tpu.solver import IPOptions
     from pockit_tpu.utils import aot
 
     system, phase, guess = bench.build_lqr()
-    opts_fast = IPOptions(tol=5e-6, max_iter=5, refine_steps=3, max_ls=8)
-    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
+    opts_fast, opts_drain = bench.bench_options()
 
     art_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts")

@@ -269,6 +269,92 @@ def _tri_solve_unrolled(L, B, lower=True):
     return jnp.stack(xs, axis=-2)
 
 
+# panel width for the blocked factorization/solves; matrices at or above
+# _BLOCKED_MIN use the blocked forms (wide-mesh reduced Schur blocks:
+# goddard nr=60, orbit nr=126 — the fully-unrolled trace at those sizes
+# is O(k^2) scalar equations and took >1 h of XLA compile on chip)
+_BLOCKED_PANEL = 8
+_BLOCKED_MIN = 33
+
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _chol_blocked(A):
+    """LAPACK-style LEFT-LOOKING blocked Cholesky of an ``(..., k, k)``
+    SPD batch: per 8-wide panel, ONE accumulated matmul correction
+    against all previously factored columns, an unrolled 8x8 panel
+    factor, and an unrolled triangular panel solve. Trace size is
+    O(k/8) matmuls + O(8^2) scalar ops — compile-light where
+    :func:`_chol_unrolled`'s O(k^2) unrolled equations blow up XLA
+    compile time for the large reduced blocks of wide meshes — while the
+    flops ride the MXU at explicit HIGHEST precision and the numerics
+    stay batch-shape-invariant (no XLA cholesky expander; the matmul
+    correction is a single fused f32 accumulation, the LAPACK blocked
+    form's stability). Negative pivots surface as nan, matching the
+    unrolled form."""
+    k = A.shape[-1]
+    if k <= _BLOCKED_PANEL:
+        return _chol_unrolled(A)
+    P = _BLOCKED_PANEL
+    lead = A.shape[:-2]
+    col_blocks = []  # each (..., k, w) with zeros above its diagonal block
+    for p0 in range(0, k, P):
+        p1 = min(p0 + P, k)
+        if p0:
+            Lp = jnp.concatenate(col_blocks, axis=-1)  # (..., k, p0)
+            C = A[..., p0:, p0:p1] - _mm(
+                Lp[..., p0:, :], jnp.swapaxes(Lp[..., p0:p1, :], -1, -2)
+            )
+        else:
+            C = A[..., p0:, p0:p1]
+        Ld = _chol_unrolled(C[..., : p1 - p0, :])  # (..., w, w)
+        parts = [jnp.zeros(lead + (p0, p1 - p0), A.dtype), Ld]
+        if p1 < k:
+            # X Ld^T = T  <=>  Ld X^T = T^T
+            Xt = _tri_solve_unrolled(
+                Ld, jnp.swapaxes(C[..., p1 - p0 :, :], -1, -2), lower=True
+            )
+            parts.append(jnp.swapaxes(Xt, -1, -2))
+        col_blocks.append(jnp.concatenate(parts, axis=-2))
+    return jnp.concatenate(col_blocks, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("lower",))
+def _tri_solve_blocked(L, B, lower=True):
+    """Blocked substitution companion of :func:`_chol_blocked`: solve
+    ``L x = B`` (``lower=True``) or ``L^T x = B`` (``lower=False``, pass
+    the lower factor) per 8-row panel — one accumulated matmul against
+    already-solved panels plus an unrolled 8x8 solve."""
+    k = L.shape[-1]
+    if k <= _BLOCKED_PANEL:
+        return _tri_solve_unrolled(L, B, lower=lower)
+    P = _BLOCKED_PANEL
+    bounds = [(p0, min(p0 + P, k)) for p0 in range(0, k, P)]
+    xs = []
+    if lower:
+        for p0, p1 in bounds:
+            rhs = B[..., p0:p1, :]
+            if p0:
+                X = jnp.concatenate(xs, axis=-2)  # (..., p0, m)
+                rhs = rhs - _mm(L[..., p0:p1, :p0], X)
+            xs.append(
+                _tri_solve_unrolled(L[..., p0:p1, p0:p1], rhs, lower=True)
+            )
+        return jnp.concatenate(xs, axis=-2)
+    for p0, p1 in reversed(bounds):
+        rhs = B[..., p0:p1, :]
+        if xs:
+            X = jnp.concatenate(xs, axis=-2)  # (..., k - p1, m)
+            rhs = rhs - _mm(
+                jnp.swapaxes(L[..., p1:, p0:p1], -1, -2), X
+            )
+        xs.insert(
+            0, _tri_solve_unrolled(L[..., p0:p1, p0:p1], rhs, lower=False)
+        )
+    return jnp.concatenate(xs, axis=-2)
+
+
 def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
     """Factor/apply for a block-arrow SPD system given directly in block
     storage ``(K_ii, K_ir, K_rr)`` — the production form fed by
@@ -311,10 +397,18 @@ def make_block_arrow_core(interior, reduced, n: int, method: str = "auto"):
     use_unrolled = method == "unrolled"
 
     def _chol(A):
-        return _chol_unrolled(A) if use_unrolled else jnp.linalg.cholesky(A)
+        if use_unrolled:
+            # large blocks (wide-mesh reduced Schur) use the blocked form:
+            # same batch-shape-invariant numerics, O(k/8) compile size
+            if A.shape[-1] >= _BLOCKED_MIN:
+                return _chol_blocked(A)
+            return _chol_unrolled(A)
+        return jnp.linalg.cholesky(A)
 
     def _tri(L, B, lower):
         if use_unrolled:
+            if L.shape[-1] >= _BLOCKED_MIN:
+                return _tri_solve_blocked(L, B, lower=lower)
             return _tri_solve_unrolled(L, B, lower=lower)
         Lm = L if lower else jnp.swapaxes(L, -1, -2)
         return jax.scipy.linalg.solve_triangular(Lm, B, lower=lower)
@@ -526,10 +620,18 @@ def make_sharded_structured_solve(
     use_unrolled = method == "unrolled"
 
     def _chol(A):
-        return _chol_unrolled(A) if use_unrolled else jnp.linalg.cholesky(A)
+        if use_unrolled:
+            # large blocks (wide-mesh reduced Schur) use the blocked form:
+            # same batch-shape-invariant numerics, O(k/8) compile size
+            if A.shape[-1] >= _BLOCKED_MIN:
+                return _chol_blocked(A)
+            return _chol_unrolled(A)
+        return jnp.linalg.cholesky(A)
 
     def _tri(L, B, lower):
         if use_unrolled:
+            if L.shape[-1] >= _BLOCKED_MIN:
+                return _tri_solve_blocked(L, B, lower=lower)
             return _tri_solve_unrolled(L, B, lower=lower)
         Lm = L if lower else jnp.swapaxes(L, -1, -2)
         return jax.scipy.linalg.solve_triangular(Lm, B, lower=lower)

@@ -244,6 +244,63 @@ def test_unrolled_core_matches_lax():
     assert np.isnan(float(p_min))
 
 
+def test_blocked_core_matches_lax_wide_reduced():
+    """Wide reduced blocks (nr >= _BLOCKED_MIN — wide meshes / many
+    linked phases) route the unrolled method through the BLOCKED
+    panel factorization (compile-light: the fully-unrolled trace at
+    orbit's nr=126 took >1 h of XLA compile on chip). Parity vs the
+    LAPACK path plus the nan-pivot contract must hold there too."""
+    import jax.numpy as jnp
+
+    from pockit_tpu.solver.structured import (
+        _BLOCKED_MIN,
+        make_block_arrow_core,
+    )
+
+    rng = np.random.default_rng(9)
+    nb, ni, nr = 4, 7, _BLOCKED_MIN + 9  # non-multiple of the panel width
+    n = nb * ni + nr
+    interior = np.arange(nb * ni).reshape(nb, ni)
+    reduced = np.arange(nb * ni, n)
+    M = rng.normal(size=(n, n))
+    K = M @ M.T + n * np.eye(n)
+    allowed = np.zeros((n, n), bool)
+    for b in range(nb):
+        allowed[np.ix_(interior[b], interior[b])] = True
+    allowed[:, reduced] = True
+    allowed[reduced, :] = True
+    K = np.where(allowed, K, 0.0)
+    K = (K + K.T) / 2 + n * np.eye(n)
+    K_ii = np.stack([K[np.ix_(interior[b], interior[b])] for b in range(nb)])
+    K_ir = np.stack([K[np.ix_(interior[b], reduced)] for b in range(nb)])
+    K_rr = K[np.ix_(reduced, reduced)]
+    rhs = rng.normal(size=n)
+
+    results = {}
+    for method in ("lax", "unrolled"):
+        factor, apply_ = make_block_arrow_core(
+            interior, reduced, n, method=method
+        )
+        fac, p_min, p_max = factor(
+            jnp.asarray(K_ii), jnp.asarray(K_ir), jnp.asarray(K_rr)
+        )
+        x = np.asarray(apply_(fac, jnp.asarray(rhs)))
+        assert float(p_min) > 0 and np.isfinite(float(p_max))
+        np.testing.assert_allclose(K @ x, rhs, rtol=0, atol=1e-8)
+        results[method] = x
+    np.testing.assert_allclose(
+        results["unrolled"], results["lax"], rtol=1e-9, atol=1e-11
+    )
+
+    # indefinite REDUCED Schur block -> nan pivots through the blocked path
+    K_rr_bad = K_rr - 10.0 * n * np.eye(nr)
+    factor, _ = make_block_arrow_core(interior, reduced, n, method="unrolled")
+    _, p_min, _ = factor(
+        jnp.asarray(K_ii), jnp.asarray(K_ir), jnp.asarray(K_rr_bad)
+    )
+    assert np.isnan(float(p_min))
+
+
 def test_structured_matches_dense_ragged():
     """Dense-K structured solve on a RAGGED (phantom-padded) layout: the
     padded gather must read zeros (not clamp) and carry unit pivots."""

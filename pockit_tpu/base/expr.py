@@ -10,10 +10,69 @@ that role.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import jax.numpy as jnp
 import sympy as sp
+
+# Numeric coefficients outside this range are folded into an adjacent
+# exponential before lambdification (see _fold_extreme_exp_coeffs).
+# float32 max is ~3.4e38; 1e30 leaves headroom for downstream products.
+_F32_SAFE_MAG = 1e30
+
+
+class _exp_folded(sp.Function):
+    """Opaque stand-in for ``exp`` with NO auto-evaluation rules.
+
+    ``sp.exp`` eagerly splits numeric terms out of its argument
+    (``exp(x + 505.7) -> 4.3e219 * exp(x)``), which re-creates the exact
+    overflow _fold_extreme_exp_coeffs removes as soon as ``replace``
+    rebuilds the parent nodes. This subclass carries no such rule, so the
+    folded form survives symbolic rebuilding; lambdify maps it back to
+    ``jnp.exp``.
+    """
+
+    nargs = 1
+
+
+def _fold_extreme_exp_coeffs(expr):
+    """Rewrite ``c*exp(y) -> sign(c)*exp(y + ln|c|)`` for |c| outside the
+    float32-safe magnitude range.
+
+    SymPy auto-distributes float coefficients and splits constant terms out
+    of exponentials: ``310*exp(-500*(h-1))`` becomes
+    ``4.35e219*exp(-500*h)``, whose coefficient is exact in float64 but
+    overflows to inf in float32, poisoning every dynamics evaluation (the
+    3-phase Goddard gate dies at iteration 0 on chip). Folding the
+    coefficient back into the exponent is exact up to one float64 rounding
+    of the log and keeps every intermediate in range. The folded result
+    uses ``_exp_folded`` so SymPy cannot re-split it; it is built for
+    lambdification only, never re-entered into symbolic rewriting.
+    """
+
+    def _is_extreme(coeff) -> bool:
+        if not coeff.is_Number or not coeff.is_finite or coeff == 0:
+            return False
+        c = abs(float(coeff))
+        return c > _F32_SAFE_MAG or c < 1.0 / _F32_SAFE_MAG
+
+    def _fold(m):
+        coeff, rest = m.as_coeff_Mul()
+        if not _is_extreme(coeff):
+            return m
+        factors = sp.Mul.make_args(rest)
+        exps = [f for f in factors if isinstance(f, sp.exp)]
+        if not exps:
+            return m  # genuinely out-of-range constant: leave untouched
+        e = exps[0]
+        others = [f for f in factors if f is not e]
+        logc = sp.Float(math.log(abs(float(coeff))))
+        folded = _exp_folded(e.args[0] + logc)
+        sign = [] if coeff > 0 else [sp.Integer(-1)]
+        return sp.Mul(*sign, *others, folded)
+
+    return expr.replace(lambda node: node.is_Mul, _fold)
 
 
 class LoweredFunc:
@@ -33,7 +92,13 @@ class LoweredFunc:
             raise ValueError(
                 f"expression {self.expr} contains unknown symbols {unknown}"
             )
-        self._fn = sp.lambdify(self.symbols, self.expr, modules="jax")
+        # fold float32-overflowing exp coefficients for codegen only;
+        # self.expr keeps the canonical evaluated form for symbolic use
+        self._fn = sp.lambdify(
+            self.symbols,
+            _fold_extreme_exp_coeffs(self.expr),
+            modules=[{"_exp_folded": jnp.exp}, "jax"],
+        )
 
     def __call__(self, values):
         values = list(values)

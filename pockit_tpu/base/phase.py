@@ -273,6 +273,10 @@ class PhaseBase:
     def _apply_bc_host(self, x: np.ndarray, s: np.ndarray) -> np.ndarray:
         """Substitute boundary conditions into a phase vector (host copy)."""
         x = np.array(x, dtype=np.float64)
+        # pins first so boundary conditions (more specific) win at the
+        # overlapping first/last slots of a pinned state
+        for idx, val in self.pinned_variable_slots:
+            x[idx] = val
         for i, info in enumerate(self.info_bc_0):
             x[self.l_v[i]] = self._value_boundary_condition(info, x[self.l_v[i]], s)
         for i, info in enumerate(self.info_bc_f):
@@ -753,12 +757,50 @@ class PhaseBase:
     def n_b(self) -> int:
         return self._num_bang_bang
 
+    @staticmethod
+    def _is_pin(lb, ub) -> bool:
+        """A plain-symbol bound pair with lb == ub (both numeric) pins the
+        variable to a constant."""
+        try:
+            return lb is not None and ub is not None and float(lb) == float(ub)
+        except (TypeError, ValueError):
+            return False
+
+    @property
+    def pinned_variable_slots(self) -> list:
+        """``[(phase-local slot index, pinned value), ...]`` for variables
+        whose plain-symbol phase constraint has lb == ub.
+
+        Such variables are substituted like FIXED boundary conditions
+        (parameter treatment) instead of being boxed by an equal-bound
+        pair: a zero-width box has an empty barrier interior, which in
+        float32 produces infinite bound duals at initialization (the relax
+        cannot be represented against the bound's magnitude) and, even
+        relaxed, conditions the KKT system as O(mu/relax^2). Reference
+        semantics (``phasebase.py:311-418``) treat the pair as a plain
+        equality, which IPOPT in turn removes via its default
+        fixed_variable_treatment=make_parameter — this is the same
+        treatment, implemented through the transcription's substitution
+        tables. Values are substituted at runtime via the phase's bc
+        vector (appended after the boundary-condition slots), so batched
+        ``bc_overrides`` can vary the pin per instance.
+        """
+        out = []
+        for i, lb, ub in self._variable_bounds_phase:
+            if self._is_pin(lb, ub):
+                for idx in range(int(self.l_v[i]), int(self.r_v[i])):
+                    out.append((idx, float(lb)))
+        return out
+
     @property
     def v_lb(self) -> np.ndarray:
         """Lower bounds of the phase's optimization variables
-        (reference: ``phasebase.py:603-630``)."""
+        (reference: ``phasebase.py:603-630``). Pinned (lb == ub) variables
+        are substituted as parameters instead — see pinned_variable_slots."""
         lb = np.full(self.L, -np.inf)
-        for i, b, _ in self._variable_bounds_phase:
+        for i, b, ub in self._variable_bounds_phase:
+            if self._is_pin(b, ub):
+                continue
             lb[self.l_v[i] : self.r_v[i]] = np.maximum(lb[self.l_v[i] : self.r_v[i]], b)
         for b, _ in self._time_bounds_phase:
             lb[-2] = np.maximum(lb[-2], b)
@@ -769,7 +811,9 @@ class PhaseBase:
     def v_ub(self) -> np.ndarray:
         """Upper bounds of the phase's optimization variables."""
         ub = np.full(self.L, np.inf)
-        for i, _, b in self._variable_bounds_phase:
+        for i, b_lo, b in self._variable_bounds_phase:
+            if self._is_pin(b_lo, b):
+                continue
             ub[self.l_v[i] : self.r_v[i]] = np.minimum(ub[self.l_v[i] : self.r_v[i]], b)
         for _, b in self._time_bounds_phase:
             ub[-2] = np.minimum(ub[-2], b)

@@ -332,8 +332,16 @@ def make_ip_solver(
         has_zl, has_zu = jnp.isfinite(zl), jnp.isfinite(zu)
         has_cl, has_cu = jnp.isfinite(cl) & ~eq, jnp.isfinite(cu) & ~eq
 
-        # relax inequality bounds slightly so the interior is non-empty
-        relax = jnp.asarray(opt.bound_relax, dtype)
+        # relax inequality bounds slightly so the interior is non-empty.
+        # dtype-aware floor: the relax must survive rounding against the
+        # bound's own magnitude (zl - relax*|zl| != zl), or zl==zu
+        # "fixed-by-bounds" variables (plain-symbol equality path
+        # constraints) get an EMPTY relaxed interior in float32 — slack 0,
+        # bound dual mu/0 = inf, NaN KKT error at iteration 0. 64*eps is
+        # ~7.6e-6 in f32 and far below bound_relax's 1e-8 in f64.
+        relax = jnp.maximum(
+            jnp.asarray(opt.bound_relax, dtype), 64 * jnp.finfo(dtype).eps
+        )
         zl_r = jnp.where(has_zl, zl - relax * jnp.maximum(one, jnp.abs(zl)), zl)
         zu_r = jnp.where(has_zu, zu + relax * jnp.maximum(one, jnp.abs(zu)), zu)
         cl_r = jnp.where(has_cl, cl - relax * jnp.maximum(one, jnp.abs(cl)), cl)
@@ -422,9 +430,13 @@ def make_ip_solver(
                 J0_ = jac_fn(z, rt)
                 G = J0_ @ J0_.T + 1e-8 * jnp.eye(m, dtype=dtype)
                 y0 = -jnp.linalg.solve(G, J0_ @ r0_)
+            # negated <= so a NaN/inf LS estimate also falls back to zero
+            # (NaN > x is False, which would have kept the poisoned y0)
             y0 = jnp.where(
-                jnp.max(jnp.abs(y0))
-                > 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0_))),
+                ~(
+                    jnp.max(jnp.abs(y0))
+                    <= 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0_)))
+                ),
                 jnp.zeros((m,), dtype),
                 y0,
             )

@@ -63,6 +63,16 @@ class _CompiledPhase:
                 fixed_vals.append(float(info.v))
             elif info.t == BcType.FUNC:
                 func_bcs.append((idx, info.v))
+        # pinned (lb == ub) variables: parameter substitution through the
+        # same runtime bc vector, appended AFTER the boundary-condition
+        # slots so existing bc_overrides index conventions are stable.
+        # Slots already owned by a FIXED/FUNC boundary condition are
+        # skipped (the boundary condition wins at the overlap).
+        bc_owned = set(fixed_idx) | {i for i, _ in func_bcs}
+        for idx, val in phase.pinned_variable_slots:
+            if idx not in bc_owned:
+                fixed_idx.append(idx)
+                fixed_vals.append(val)
         self.fixed_idx = np.array(fixed_idx, dtype=np.int32)
         self.fixed_vals = np.array(fixed_vals, dtype=np.float64)
         self.func_bcs = func_bcs

@@ -212,6 +212,7 @@ def _phase_interval_data(system, pi: int, row0: int, ivals=None):
     func_slot = np.zeros((N, n_loc), dtype=np.int64)
     func_fns = []
     n_fixed = 0
+    bc_owned = set()
     for idx, info in slots:
         g_idx = off + idx
         if info.t == BcType.FIXED:
@@ -219,11 +220,23 @@ def _phase_interval_data(system, pi: int, row0: int, ivals=None):
             fixed_mask |= sel
             fixed_slot[sel] = n_fixed
             n_fixed += 1
+            bc_owned.add(idx)
         elif info.t == BcType.FUNC:
             sel = local_cols == g_idx
             func_mask |= sel
             func_slot[sel] = len(func_fns)
             func_fns.append(info.v)
+            bc_owned.add(idx)
+    # pinned (lb == ub) variable slots: appended after the BC slots in the
+    # SAME order as compiled.py's fixed_idx so the runtime bc vector lines
+    # up; BC-owned slots skipped identically
+    for idx, _val in p.pinned_variable_slots:
+        if idx in bc_owned:
+            continue
+        sel = local_cols == off + idx
+        fixed_mask |= sel
+        fixed_slot[sel] = n_fixed
+        n_fixed += 1
 
     return dict(
         phase=p,

@@ -78,3 +78,48 @@ def test_tightest_bound_wins():
     Lx = phase.d.L_x_var
     np.testing.assert_array_equal(system.v_lb[:Lx], -1.5)
     np.testing.assert_array_equal(system.v_ub[:Lx], 2.0)
+
+
+def test_pinned_variable_becomes_parameter():
+    """lb == ub plain-symbol constraints pin the variable: no bounds are
+    emitted (an equal-bound box has an empty barrier interior in f32) and
+    every slot joins the FIXED substitution tables after the BC slots."""
+    for mod in (lobatto, radau):
+        system = mod.System(0)
+        phase = system.new_phase(["x"], ["u"])
+        (x,) = phase.x
+        (u,) = phase.u
+        phase.set_dynamics([u])
+        phase.set_integral([x**2])
+        phase.set_phase_constraint([u], [0.75], [0.75])
+        phase.set_boundary_condition([1.0], [None], 0.0, 1.0)
+        phase.set_discretization(2, 3)
+        system.set_phase([phase])
+        system.set_objective(phase.I[0])
+
+        Lx = phase.d.L_x_var
+        Lu = phase.d.L_u_var
+        # no box on the pinned control
+        assert np.all(np.isinf(system.v_lb[Lx : Lx + Lu]))
+        assert np.all(np.isinf(system.v_ub[Lx : Lx + Lu]))
+        # all control slots pinned at 0.75
+        pins = phase.pinned_variable_slots
+        assert len(pins) == Lu
+        assert all(v == 0.75 for _, v in pins)
+
+        cp = system.compiled.phases[0]
+        # bc vector layout: BC slots first (x0 fixed, t0, tf), pins after
+        n_bc = 3
+        assert len(cp.fixed_vals) == n_bc + Lu
+        np.testing.assert_array_equal(cp.fixed_vals[n_bc:], 0.75)
+
+        # solve: pinned control must come back exactly, dynamics obeyed
+        from pockit_tpu.optimizer import ipm
+
+        res, info = ipm.solve(system, mod.constant_guess(phase, 0.5))
+        assert info["status"] == 0
+        np.testing.assert_allclose(np.asarray(res.u[0]), 0.75, atol=1e-12)
+        # x' = u = 0.75, x(0) = 1 -> x(1) = 1.75
+        np.testing.assert_allclose(
+            float(np.asarray(res.x[0])[-1]), 1.75, atol=1e-8
+        )

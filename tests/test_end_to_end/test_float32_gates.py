@@ -155,3 +155,68 @@ def test_f32_isoperimetric_gate():
     # the energy bound binds, objective 0.2515982153412504
     assert out["obj"] == pytest.approx(0.2515982153, abs=5e-5)
     assert out["iters"] <= 40
+
+
+_GODDARD = _PRELUDE + """
+# exercises three float32-robustness mechanisms at once:
+# - extreme-coefficient exp folding (sympy splits 310*exp(-500*(h-1))
+#   into 4.35e219*exp(-500*h), inf in f32 without the fold);
+# - pinned (lb == ub) controls substituted as parameters (an equal-bound
+#   box has an empty f32 barrier interior -> inf duals at init);
+# - the Mehrotra probe (the monotone ladder hovers at KKT ~2-5e-5 on the
+#   singular arc; mehrotra converges in ~14 iterations).
+import sympy as sp
+from pockit_tpu.solver import IPOptions
+U_MAX, C_EX, D0, BETA, MF = 3.5, 0.5, 310.0, 500.0, 0.6
+system = radau.System(["t_a", "t_b", "t_f", "h_a", "v_a", "m_a",
+                       "h_b", "v_b", "h_f"])
+t_a, t_b, t_f, h_a, v_a, m_a, h_b, v_b, h_f = system.s
+def make_phase(u_lb, u_ub, bc0, bcf, t0, t1):
+    ph = system.new_phase(["h", "v", "m"], ["u"])
+    h, v, m = ph.x
+    (u,) = ph.u
+    drag = D0 * v**2 * sp.exp(-BETA * (h - 1))
+    ph.set_dynamics([v, (u - drag) / m - 1 / h**2, -u / C_EX])
+    ph.set_phase_constraint([u], [u_lb], [u_ub])
+    ph.set_boundary_condition(bc0, bcf, t0, t1)
+    ph.set_discretization(4, 7)
+    return ph
+p1 = make_phase(U_MAX, U_MAX, [1.0, 0.0, 1.0], [h_a, v_a, m_a], 0.0, t_a)
+p2 = make_phase(0.0, U_MAX, [h_a, v_a, m_a], [h_b, v_b, MF], t_a, t_b)
+p3 = make_phase(0.0, 0.0, [h_b, v_b, MF], [h_f, 0.0, MF], t_b, t_f)
+system.set_phase([p1, p2, p3])
+system.set_objective(-h_f)
+guesses = []
+for ph, (h0, h1), (vv0, vv1), (mm0, mm1), uu in [
+    (p1, (1.0, 1.005), (0.0, 0.1), (1.0, 0.8), U_MAX),
+    (p2, (1.005, 1.01), (0.1, 0.05), (0.8, MF), 1.0),
+    (p3, (1.01, 1.013), (0.05, 0.0), (MF, MF), 0.0),
+]:
+    g = radau.linear_guess(ph, 0.5)
+    g.x[0] = h0 + (h1 - h0) * ph.t_x
+    g.x[1] = vv0 + (vv1 - vv0) * ph.t_x
+    g.x[2] = mm0 + (mm1 - mm0) * ph.t_x
+    g.u[0] = uu
+    guesses.append(g)
+statics = [0.023, 0.068, 0.2, 1.005, 0.1, 0.8, 1.01, 0.05, 1.0128]
+opts = IPOptions(tol=1e-5, max_iter=60, refine_steps=3,
+                 mu_strategy="mehrotra")
+result, info = ipm.solve(system, guesses + [statics],
+                         optimizer_options=opts)
+# pinned controls must come back at their pinned values
+u1 = np.asarray(result[0].u[0])
+u3 = np.asarray(result[2].u[0])
+print(json.dumps({"status": info["status"], "h_f": float(result[-1][-1]),
+                  "iters": info["iterations"],
+                  "u1_err": float(np.max(np.abs(u1 - U_MAX))),
+                  "u3_err": float(np.max(np.abs(u3)))}))
+"""
+
+
+def test_f32_goddard_gate():
+    out = _run(_GODDARD)
+    assert out["status"] == 0
+    assert out["h_f"] == pytest.approx(1.012837, abs=1e-3)
+    assert out["iters"] <= 40
+    assert out["u1_err"] < 1e-6
+    assert out["u3_err"] < 1e-6

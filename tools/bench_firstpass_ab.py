@@ -66,6 +66,32 @@ def main():
             tol=5e-6, max_iter=6, refine_steps=3, max_ls=4,
             soc=False, feasibility_fallback=False,
         ),
+        # r4 second wave: the profile attributes ~10 ms/iter to escalation
+        # re-rounds and ~2.3 ms/refine-step; failures fall through to the
+        # full-featured drain, so the first pass can shed both.
+        "lean4_reg1": IPOptions(
+            tol=5e-6, max_iter=4, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False, max_reg_tries=1,
+        ),
+        "lean4_ref2": IPOptions(
+            tol=5e-6, max_iter=4, refine_steps=2, max_ls=4,
+            soc=False, feasibility_fallback=False,
+        ),
+        "lean4_reg1_ref2": IPOptions(
+            tol=5e-6, max_iter=4, refine_steps=2, max_ls=4,
+            soc=False, feasibility_fallback=False, max_reg_tries=1,
+        ),
+        # floor probe for VERDICT r3 #6: if the 3-iteration first pass
+        # strands a large fraction for the drain, mean_iters ~3.4 is the
+        # cold-start floor at tol=5e-6 in f32, not a tuning artifact.
+        "lean3": IPOptions(
+            tol=5e-6, max_iter=3, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False,
+        ),
+        "lean4_reg2": IPOptions(
+            tol=5e-6, max_iter=4, refine_steps=3, max_ls=4,
+            soc=False, feasibility_fallback=False, max_reg_tries=2,
+        ),
     }
 
     for name, opts_fast in configs.items():

@@ -133,8 +133,16 @@ def goddard_bc(compiled, B, rng):
 
 GATES = {
     "orbit": (build_orbit, orbit_bc, 60, ("r_f", -R_F_KNOWN)),
+    # mehrotra: on the singular-arc Goddard in f32, the monotone ladder
+    # hovers at KKT ~2-5e-5 for 120 iters (permanent inertia
+    # regularization bias); the Mehrotra probe converges in 14
     "goddard": (build_goddard, goddard_bc, 60, ("h_f", -H_STAR)),
 }
+GATE_MU = {"goddard": "mehrotra"}
+# f32 KKT floor on the singular-arc Goddard is ~2-5e-5 (the inertia
+# regularization the singular reduced Hessian forces biases the step);
+# 5e-5 converges every perturbed lane in 6-13 iters, 2e-5 strands ~40%
+GATE_TOL_F32 = {"goddard": 5e-5}
 
 
 def run_gate(name, B, n_rep=3):
@@ -157,9 +165,13 @@ def run_gate(name, B, n_rep=3):
     rng = np.random.default_rng(0)
 
     on_tpu = jax.default_backend() != "cpu"
-    tol = 1e-5 if on_tpu and not jax.config.jax_enable_x64 else 1e-7
-    opts_fast = IPOptions(tol=tol, max_iter=first_iters, refine_steps=3)
-    opts_drain = IPOptions(tol=tol, max_iter=120, refine_steps=3)
+    f32 = not jax.config.jax_enable_x64
+    tol = GATE_TOL_F32.get(name, 1e-5) if f32 else 1e-7
+    mu = GATE_MU.get(name, "monotone") if f32 else "monotone"
+    opts_fast = IPOptions(
+        tol=tol, max_iter=first_iters, refine_steps=3, mu_strategy=mu
+    )
+    opts_drain = IPOptions(tol=tol, max_iter=120, refine_steps=3, mu_strategy=mu)
 
     def solve_all(bc):
         return ipm.solve_batch_drained(

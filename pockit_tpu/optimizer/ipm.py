@@ -227,9 +227,21 @@ def solve_batch_drained(
     res = solve_batch(
         system, guess_batch, bc_overrides=bc_overrides, optimizer_options=opts_fast
     )
-    status = np.array(res.status)
-    obj = np.array(res.obj)
-    iters = np.array(res.iterations)
+    # ONE packed host fetch for (status, obj, iterations): each separate
+    # np.array() is its own device->host round trip, and on a remote-
+    # accelerator tunnel the per-fetch latency (~0.1 s) dwarfs the bytes
+    packed = np.asarray(
+        jnp.stack(
+            [
+                res.status.astype(res.obj.dtype),
+                res.obj,
+                res.iterations.astype(res.obj.dtype),
+            ]
+        )
+    )
+    status = packed[0].astype(np.int32)
+    obj = packed[1].copy()  # np.asarray of a device fetch is read-only
+    iters = packed[2].astype(np.int64)
     z = res.z  # device-resident; only gathered rows ever cross the link
     first_pass_mask = status == 0
 
@@ -263,8 +275,16 @@ def solve_batch_drained(
                 bounds_b = broadcast_bounds(bounds, idx.shape[0])
                 r = jax.vmap(solve_fn_d)(zi, bounds_b, {"bc": bci})
                 # duplicate indices (np.resize tiling) scatter identical
-                # rows, so the update is well-defined
-                return z_full.at[idx].set(r.z), r.status, r.obj, r.iterations
+                # rows, so the update is well-defined; (status, obj,
+                # iterations) pack into one fetch (link latency >> bytes)
+                pk = jnp.stack(
+                    [
+                        r.status.astype(r.obj.dtype),
+                        r.obj,
+                        r.iterations.astype(r.obj.dtype),
+                    ]
+                )
+                return z_full.at[idx].set(r.z), pk
 
             cache[key] = jax.jit(_drain_round)
         drain_round = cache[key]
@@ -272,11 +292,12 @@ def solve_batch_drained(
         while len(pending) and rounds < max_drain_rounds:
             take = pending[:B_drain]
             idx = jnp.asarray(np.resize(take, B_drain))
-            z, st2, ob2, it2 = drain_round(z, idx, bc_full, bounds0)
+            z, pk2 = drain_round(z, idx, bc_full, bounds0)
+            pk2 = np.asarray(pk2)
             uniq = len(take)
-            status[take] = np.asarray(st2)[:uniq]
-            obj[take] = np.asarray(ob2)[:uniq]
-            iters[take] = iters[take] + np.asarray(it2)[:uniq]
+            status[take] = pk2[0, :uniq].astype(np.int32)
+            obj[take] = pk2[1, :uniq]
+            iters[take] = iters[take] + pk2[2, :uniq].astype(np.int64)
             pending = pending[uniq:]
             rounds += 1
     if return_first_pass_mask:

@@ -379,18 +379,21 @@ def make_ip_solver(
         v_l = jnp.where(has_cl, mu0 / bl0, 0.0)
         v_u = jnp.where(has_cu, mu0 / bu0, 0.0)
 
-        # least-squares multiplier initialization (IPOPT-style): minimize
-        # ||grad f + J^T y - w_l + w_u|| at the start point so warm starts
-        # from a solution converge immediately; fall back to zero when the
-        # estimate is enormous (far-from-feasible cold starts)
-        if m:
-            g0_ = grad_fn(z, rt)
-            r0_ = g0_ - w_l + w_u
-            # dense solve below 1 MB/lane of Jacobian (exact LS init, and
-            # the basin of attraction of init-sensitive problems — e.g.
-            # Goddard's singular arc — matches the reference pipeline);
-            # matrix-free CG above it, where a (B, m, L) init temporary
-            # would dominate peak memory for batched large meshes
+        def _ls_multipliers(z_, w_l_, w_u_, g_=None):
+            """Least-squares multiplier estimate (IPOPT-style): minimize
+            ||grad f + J^T y - w_l + w_u|| at ``z_``. Used at the start
+            point (warm starts from a solution converge immediately) and
+            re-used as a post-loop dual refresh (a lane whose primal hit
+            the solution on its last improving step is certified by fresh
+            duals instead of buying a drain round). Falls back to zero
+            when the estimate is enormous (far-from-feasible cold
+            starts)."""
+            g0_ = grad_fn(z_, rt) if g_ is None else g_
+            r0_ = g0_ - w_l_ + w_u_
+            # dense Jacobian below 1 MB/lane (and the basin of attraction
+            # of init-sensitive problems — e.g. Goddard's singular arc —
+            # matches the reference pipeline); matrix-free CG above it,
+            # where a (B, m, L) temporary would dominate peak memory
             if (
                 use_block
                 and m * n * np.dtype(dtype).itemsize > _LS_INIT_DENSE_MAX_BYTES
@@ -399,10 +402,10 @@ def make_ip_solver(
                 # A fixed-trip CG with J / J^T products costs ~2 c_fn-evals
                 # per step, and init accuracy only gates how many IPM
                 # iterations a warm start needs, not correctness.
-                _, j0_mv = jax.linearize(lambda v: c_fn(v, rt), z)
+                _, j0_mv = jax.linearize(lambda v: c_fn(v, rt), z_)
                 # transpose the linearized map instead of a second vjp
                 # trace of c_fn (halves the init's linearization work)
-                _jt0 = jax.linear_transpose(j0_mv, z)
+                _jt0 = jax.linear_transpose(j0_mv, z_)
                 jt0_mv = lambda u: _jt0(u)[0]
                 b0 = -j0_mv(r0_)
 
@@ -427,12 +430,53 @@ def make_ip_solver(
                     (jnp.zeros((m,), dtype), b0, b0, b0 @ b0),
                 )
             else:
-                J0_ = jac_fn(z, rt)
+                # materialized normal matrix, solved by Jacobi-PCG with a
+                # residual-based early exit instead of jnp.linalg.solve:
+                # XLA's batched LU expander on TPU cost ~0.6 s/call at
+                # B=16384 (the single largest fixed overhead of a batched
+                # solve) where the PCG is a handful of ms; CG on the SPD
+                # G reaches the f32 residual floor in <= m steps (measured
+                # bitwise-grade agreement with the dense solve at the f32
+                # level on the LQR gate, ~48 steps)
+                J0_ = jac_fn(z_, rt)
                 G = J0_ @ J0_.T + 1e-8 * jnp.eye(m, dtype=dtype)
-                y0 = -jnp.linalg.solve(G, J0_ @ r0_)
+                b0 = -(J0_ @ r0_)
+                dinv = 1.0 / jnp.maximum(jnp.diagonal(G), 1e-30)
+                bb = b0 @ b0
+                tol_sq = (10.0 * eps_dt) ** 2 * bb
+
+                def _pcg_cond(carry):
+                    _, r_, _, _, rr_, k_ = carry
+                    return (rr_ > tol_sq) & (k_ < min(m, 128))
+
+                def _pcg_body(carry):
+                    yv, r_, p_, rz_, _, k_ = carry
+                    Gp = G @ p_
+                    denom = p_ @ Gp
+                    alpha = jnp.where(jnp.abs(denom) > 1e-30, rz_ / denom, 0.0)
+                    yv = yv + alpha * p_
+                    r_n = r_ - alpha * Gp
+                    z_n = dinv * r_n
+                    rz_n = r_n @ z_n
+                    beta = jnp.where(jnp.abs(rz_) > 1e-30, rz_n / rz_, 0.0)
+                    return yv, r_n, z_n + beta * p_, rz_n, r_n @ r_n, k_ + 1
+
+                z0_p = dinv * b0
+                y0, _, _, _, _, _ = lax.while_loop(
+                    _pcg_cond,
+                    _pcg_body,
+                    (
+                        jnp.zeros((m,), dtype),
+                        b0,
+                        z0_p,
+                        b0 @ z0_p,
+                        bb,
+                        jnp.asarray(0, jnp.int32),
+                    ),
+                )
             # negated <= so a NaN/inf LS estimate also falls back to zero
             # (NaN > x is False, which would have kept the poisoned y0)
-            y0 = jnp.where(
+            return jnp.where(
                 ~(
                     jnp.max(jnp.abs(y0))
                     <= 1e3 * jnp.maximum(one, jnp.max(jnp.abs(g0_)))
@@ -440,10 +484,34 @@ def make_ip_solver(
                 jnp.zeros((m,), dtype),
                 y0,
             )
-        else:
-            y0 = jnp.zeros((m,), dtype)
 
         theta_init = jnp.sum(jnp.abs(c0 - s)) if m else jnp.asarray(0.0, dtype)
+        if m:
+            # LS multiplier init, gated by warmth and working precision:
+            # - near-feasible (warm) starts always take the LS estimate —
+            #   it certifies an already-solved point immediately;
+            # - float64 cold starts take it too (the f64 gates — Goddard's
+            #   singular arc, orbit — converge along the LS-init path, and
+            #   this matches rounds 1-4);
+            # - float32 cold starts use y0 = 0 (IPOPT's own default): the
+            #   f32 globalization path from an aggressive dual init is
+            #   fragile (measured: f32 Goddard diverges from the SAME
+            #   LS values that converge in f64), and y0 = 0 costs cold f32
+            #   LQR nothing (2 iterations either way).
+            # Rounds 1-4 implemented this split by accident: the f32 LU of
+            # the singular Goddard normal matrix exploded to ~1e21 and
+            # tripped the magnitude guard, while f64 LU stayed bounded.
+            # The PCG solve below returns bounded values in both dtypes,
+            # so the gate must be explicit.
+            ls_gate = theta_init <= jnp.sqrt(eps_dt) * (
+                one + jnp.sum(jnp.abs(s))
+            )
+            if eps_dt < 1e-12:  # float64: trust the estimate cold too
+                y0 = _ls_multipliers(z, w_l, w_u)
+            else:
+                y0 = jnp.where(ls_gate, _ls_multipliers(z, w_l, w_u), 0.0)
+        else:
+            y0 = jnp.zeros((m,), dtype)
         theta_min = 1e-4 * jnp.maximum(one, theta_init)
         theta_max = 1e4 * jnp.maximum(one, theta_init)
 
@@ -1486,11 +1554,38 @@ def make_ip_solver(
             c0,
             0.0,
         )
+        y_fin = final.y
+        if m:
+            # post-loop dual refresh: a lane that took its last IMPROVING
+            # primal step exactly at max_iter carries duals one Newton
+            # update behind its (converged) primal — re-estimating y by
+            # least squares at the final point certifies it in-program.
+            # Before this, such lanes bought a whole compacted drain round
+            # that then converged in 0 iterations off the drain's fresh
+            # LS init (BENCH_NOTES r4/r5). Accepted per-lane only when it
+            # strictly improves the measured KKT error.
+            y_ls = _ls_multipliers(final.z, final.w_l, final.w_u, g_=g)
+            kkt_ls = _kkt_error(
+                final.z,
+                final.s,
+                y_ls,
+                final.w_l,
+                final.w_u,
+                final.v_l,
+                final.v_u,
+                g,
+                _cvjp_f(y_ls)[0],
+                c0,
+                0.0,
+            )
+            better = kkt_ls < kkt
+            y_fin = jnp.where(better, y_ls, y_fin)
+            kkt = jnp.where(better, kkt_ls, kkt)
         status = jnp.where(kkt <= opt.tol, 0, final.status)
         return IPResult(
             z=final.z,
             s=final.s,
-            y=final.y,
+            y=y_fin,
             obj=f_fn(final.z, rt),
             status=status,
             iterations=final.it,

@@ -125,9 +125,10 @@ def export_drain_round(
     ``ipm.solve_batch_drained`` compiles) and serialize it.
 
     Calling convention: ``(z_full (B, L), idx (B_drain,), *bc_batches) ->
-    (z_full', status, obj, iterations)`` with each ``bc`` batch ``(B,
+    (z_full', packed (3, B_drain))`` with each ``bc`` batch ``(B,
     n_fixed)`` — gather the straggler rows, re-solve them as a compact
-    batch, scatter the solutions back, all in one dispatch.
+    batch, scatter the solutions back, all in one dispatch; ``packed``
+    stacks (status, obj, iterations) so the host needs ONE fetch.
     """
     from pockit_tpu.optimizer.ipm import _solver_for
     from pockit_tpu.solver import broadcast_bounds
@@ -142,7 +143,14 @@ def export_drain_round(
         zi = z_full[idx]
         bci = tuple(v[idx] for v in bc_batches)
         r = jax.vmap(solve_fn)(zi, bounds_d, {"bc": bci})
-        return z_full.at[idx].set(r.z), r.status, r.obj, r.iterations
+        pk = jnp.stack(
+            [
+                r.status.astype(r.obj.dtype),
+                r.obj,
+                r.iterations.astype(r.obj.dtype),
+            ]
+        )
+        return z_full.at[idx].set(r.z), pk
 
     z_shape = jax.ShapeDtypeStruct((B, compiled.L), dtype)
     idx_shape = jax.ShapeDtypeStruct((Bd,), np.int32)

@@ -51,22 +51,25 @@ def bench_options():
     """The headline two-stage drain configuration (shared with
     tools/export_bench_artifacts.py so AOT artifacts match).
 
-    First pass: the batched while_loop runs to the SLOWEST lane and the
-    iteration histogram at B=16384 is 97.3% done by 4 — every extra
-    first-pass iteration costs the whole batch ~0.14 s to carry a
-    vanishing tail the fused drain rounds finish at 1/8 width. The warm
-    LQR batch never fires SOC / the feasibility fallback / deep
-    backtracking, yet under vmap every lane pays for them each trial
-    round — a LEAN first pass (soc/fallback off, short line search)
-    measured +9% headline over the r3 config (tools/bench_firstpass_ab,
-    r4: lean4 12,212/s vs r3_first5 11,242/s, converged_frac 1.0 both);
-    the drain rounds retain the full globalization machinery, so any
-    lane the lean pass cannot finish is re-solved with every feature on.
+    First pass: LQR is an equality-constrained QP, so one full Newton
+    step is exact up to the delta_c perturbation; the saddle refinement
+    polishes that away and the post-loop least-squares dual refresh
+    certifies the lane in-program. Measured on chip (r5, B=16384,
+    interleaved same-window A/B): max_iter=2 + refine_steps=3 completes
+    100% of lanes IN THE FIRST PASS (first_pass_frac 1.0 — the drain
+    never dispatches) at 0.45 s/batch vs 0.62 s for the r4 max_iter=4
+    config; max_iter=1 caps at 50% converged regardless of refinement
+    depth (the second iteration's mu drop + fresh linearization is what
+    certifies the far-end lanes). The lean flags (soc/fallback off,
+    short line search) stay: under vmap every lane pays for globalization
+    features each trial round, and the warm LQR batch never needs them;
+    the drain rounds retain the full machinery for any lane the lean
+    pass cannot finish.
     """
     from pockit_tpu.solver import IPOptions
 
     opts_fast = IPOptions(
-        tol=5e-6, max_iter=4, refine_steps=3, max_ls=4,
+        tol=5e-6, max_iter=2, refine_steps=3, max_ls=4,
         soc=False, feasibility_fallback=False,
     )
     opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)

@@ -54,6 +54,11 @@ def _fold_extreme_exp_coeffs(expr):
     def _is_extreme(coeff) -> bool:
         if not coeff.is_Number or not coeff.is_finite or coeff == 0:
             return False
+        # float() may overflow to inf for coefficients beyond float64
+        # range (e.g. exp-splitting of steep exponentials); those are
+        # exactly the coefficients that MUST be folded, so inf counts as
+        # extreme — the log below is taken at sympy precision, not via
+        # the overflowed float
         c = abs(float(coeff))
         return c > _F32_SAFE_MAG or c < 1.0 / _F32_SAFE_MAG
 
@@ -67,7 +72,13 @@ def _fold_extreme_exp_coeffs(expr):
             return m  # genuinely out-of-range constant: leave untouched
         e = exps[0]
         others = [f for f in factors if f is not e]
-        logc = sp.Float(math.log(abs(float(coeff))))
+        # log at sympy/mpmath precision: float64 overflows (|c| > ~1.8e308)
+        # would give math.log(inf) = inf and fold to exp(arg + oo) — wrong
+        # everywhere even where the true value is representable
+        logc_sym = sp.log(abs(coeff)).evalf()
+        if not logc_sym.is_finite:
+            return m  # zero/degenerate coefficient: leave untouched
+        logc = sp.Float(logc_sym)
         folded = _exp_folded(e.args[0] + logc)
         sign = [] if coeff > 0 else [sp.Integer(-1)]
         return sp.Mul(*sign, *others, folded)

@@ -50,13 +50,13 @@ class PhaseBase:
         elif isinstance(state, list):
             if "t" in state:
                 raise ValueError(
-                    'Symbol "t" is reserved for time. '
-                    "Use a different name for state variables"
+                    '"t" is the time symbol; '
+                    "pick a different name for the state variables"
                 )
             self._name_state = [s + f"^{{({identifier})}}" for s in state]
             self._num_state = len(state)
         else:
-            raise ValueError("state must be int or list of str")
+            raise ValueError("state: pass a count (int) or a list of names")
 
         if isinstance(control, int):
             self._num_control = control
@@ -64,13 +64,13 @@ class PhaseBase:
         elif isinstance(control, list):
             if "t" in control:
                 raise ValueError(
-                    'Symbol "t" is reserved for time. '
-                    "Use a different name for control variables"
+                    '"t" is the time symbol; '
+                    "pick a different name for the control variables"
                 )
             self._name_control = [c + f"^{{({identifier})}}" for c in control]
             self._num_control = len(control)
         else:
-            raise ValueError("control must be int or list of str")
+            raise ValueError("control: pass a count (int) or a list of names")
 
         self._num_variable = self._num_state + self._num_control
         self._num_static_parameter = len(symbol_static_parameter)
@@ -106,7 +106,8 @@ class PhaseBase:
         (reference: ``phasebase.py:243-273``). ``cache`` is a no-op."""
         if len(dynamics) != self.n_x:
             raise ValueError(
-                "the number of dynamics must be equal to the number of state variables"
+                f"set_dynamics expects one expression per state variable "
+                f"({self.n_x}), got {len(dynamics)}"
             )
         self._expr_dynamics = [sp.sympify(d) for d in dynamics]
         self._func_dynamics = [self._lower(d) for d in self._expr_dynamics]
@@ -144,7 +145,8 @@ class PhaseBase:
         upper_bound = list(upper_bound)
         if not len(phase_constraint) == len(lower_bound) == len(upper_bound):
             raise ValueError(
-                "phase_constraint, lower_bound and upper_bound must have the same length"
+                "phase_constraint, lower_bound and upper_bound are parallel "
+                "lists with one entry per constraint; their lengths differ"
             )
 
         self._variable_bounds_phase = []
@@ -169,6 +171,37 @@ class PhaseBase:
                 lbs.append(lb)
                 ubs.append(ub)
 
+        # a pin (lb == ub) is substituted as a parameter, so a second
+        # entry boxing the same variable would otherwise be silently
+        # overruled — but a pin outside that box (or two different pins)
+        # makes the problem infeasible, which the reference's equality-row
+        # treatment would report at solve time; detect it here instead
+        by_var: dict = {}
+        for i, lb, ub in self._variable_bounds_phase:
+            by_var.setdefault(i, []).append((lb, ub))
+        for i, entries in by_var.items():
+            pins = [float(lb) for lb, ub in entries if self._is_pin(lb, ub)]
+            if not pins:
+                continue
+            name = self._symbols[i]
+            if len(set(pins)) > 1:
+                raise ValueError(
+                    f"variable {name} is pinned to conflicting values "
+                    f"{sorted(set(pins))}; the problem is infeasible"
+                )
+            pin = pins[0]
+            for lb, ub in entries:
+                if self._is_pin(lb, ub):
+                    continue
+                lo = -np.inf if lb is None else float(lb)
+                hi = np.inf if ub is None else float(ub)
+                if pin < lo or pin > hi:
+                    raise ValueError(
+                        f"variable {name} is pinned to {pin} but another "
+                        f"constraint bounds it to [{lo}, {hi}]; the "
+                        "problem is infeasible"
+                    )
+
         self._num_phase_constraint = len(self._expr_phase_constraint)
         self._func_phase_constraint = [
             self._lower(c) for c in self._expr_phase_constraint
@@ -186,13 +219,13 @@ class PhaseBase:
             if bb:
                 if np.isinf(lb) or np.isinf(ub):
                     raise ValueError(
-                        "lower_bound and upper_bound must be finite "
-                        "for bang-bang control constraint"
+                        "bang-bang control constraints need finite lower and "
+                        "upper bounds"
                     )
                 if ub <= lb + 1e-10:
                     raise ValueError(
-                        "lower_bound must be strictly less than upper_bound "
-                        "for bang-bang control constraint"
+                        "bang-bang control constraints need "
+                        "upper_bound > lower_bound"
                     )
                 self._func_bang_bang_control.append(
                     self._lower((sp.sympify(expr) - lb) / (ub - lb))
@@ -216,8 +249,8 @@ class PhaseBase:
         terminal_value = list(terminal_value)
         if not len(initial_value) == len(terminal_value) == self.n_x:
             raise ValueError(
-                "initial_value, terminal_value must have the same length "
-                "as number of state variables"
+                "boundary conditions take one initial_value and one "
+                "terminal_value entry per state variable"
             )
         self._initial_value = initial_value
         self._terminal_value = terminal_value
@@ -249,7 +282,8 @@ class PhaseBase:
             self._num_point = np.array(list(num_point), dtype=np.int64)
         if len(self._num_point) != self._num_interval:
             raise ValueError(
-                "num_point must have the same length as mesh intervals (= len(mesh) - 1)"
+                "one num_point entry is required per mesh subinterval "
+                "(a length of len(mesh) - 1)"
             )
         self._object_discretization = Discretization(
             self._family, self._mesh, self._num_point, self.n_x, self.n_u
@@ -444,8 +478,7 @@ class PhaseBase:
     def _require_static(self, static_parameter):
         if self._num_static_parameter and static_parameter is None:
             raise ValueError(
-                "phase has static parameters, but the value of static "
-                "parameters is not given"
+                "this phase references static parameters; supply their values"
             )
         if static_parameter is None:
             static_parameter = []

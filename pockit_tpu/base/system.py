@@ -44,7 +44,9 @@ class SystemBase:
             self._name_static_parameter = static_parameter
             self._num_static_parameter = len(static_parameter)
         else:
-            raise ValueError("static_parameter must be int or list of str")
+            raise ValueError(
+                "static_parameter: pass a count (int) or a list of names"
+            )
         self._symbol_static_parameter = [
             sp.Symbol(n) for n in self._name_static_parameter
         ]
@@ -73,8 +75,8 @@ class SystemBase:
         for i, p in enumerate(phase):
             if not p.ok:
                 raise ValueError(
-                    f"Dynamics, boundary conditions, or discretization scheme "
-                    f"of phase {i} are not fully set"
+                    f"phase {i} is missing required settings (dynamics, "
+                    f"boundary conditions, or discretization)"
                 )
         self._phase = list(phase)
         self._num_phase = len(self._phase)
@@ -103,7 +105,8 @@ class SystemBase:
         upper_bound = list(upper_bound)
         if not len(system_constraint) == len(lower_bound) == len(upper_bound):
             raise ValueError(
-                "system_constraint, lower_bound and upper_bound must have the same length"
+                "system_constraint, lower_bound and upper_bound are parallel "
+                "lists with one entry per constraint; their lengths differ"
             )
         self._system_constraint_user = [sp.sympify(c) for c in system_constraint]
         self._system_constraint_user_lb = lower_bound
@@ -314,11 +317,11 @@ class SystemBase:
         if value_is_variable:
             value = [value]
         if not self._num_static_parameter and len(value) != self._num_phase:
-            raise ValueError("len(value) must be equal to the number of phases")
+            raise ValueError("expected one Variable per phase")
         if self._num_static_parameter and len(value) != self._num_phase + 1:
             raise ValueError(
-                "len(value) must be equal to the number of phases + 1 "
-                "(for static variables)"
+                "expected one Variable per phase followed by the "
+                "static-parameter values"
             )
         if self._num_static_parameter:
             s = np.array(list(value[-1]), dtype=np.float64)
@@ -472,7 +475,9 @@ class SystemBase:
 
     def _check_ok(self):
         if not self.ok:
-            raise ValueError("system is not fully configured")
+            raise ValueError(
+                "system setup is incomplete: set phases and an objective first"
+            )
 
     # ------------------------------------------------------------------
     @property

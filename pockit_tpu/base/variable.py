@@ -23,7 +23,9 @@ class BatchIndexArray:
 
     def __init__(self, data, l_index, r_index):
         if not len(l_index) == len(r_index):
-            raise ValueError("l_index and r_index must have the same length")
+            raise ValueError(
+                "l_index and r_index are parallel arrays; their lengths differ"
+            )
         self._data = data
         self._l_index = l_index
         self._r_index = r_index
@@ -304,7 +306,10 @@ def _make_guess(Variable, phase, fill: float, interp: bool) -> "VariableBase":
     endpoints (constant when only one end is FIXED, ``fill`` when neither).
     """
     if not phase.ok:
-        raise ValueError("phase is not fully configured")
+        raise ValueError(
+            "phase setup is incomplete: set dynamics, boundary conditions "
+            "and the discretization first"
+        )
     v = Variable(phase, np.full(phase.L, float(fill)))
     for i in range(phase.n_x):
         b0, bf = _fixed_endpoint_values(phase, i)

@@ -128,7 +128,7 @@ def integral_matrix(nodes_in: np.ndarray, nodes_out: np.ndarray) -> np.ndarray:
     if n > 1:
         sorted_in = np.sort(nodes_in)
         if np.min(np.diff(sorted_in)) <= _EQ_TOL:
-            raise ValueError("nodes_in must contain distinct nodes")
+            raise ValueError("interpolation nodes must be pairwise distinct")
 
     w_bary = barycentric_weights(nodes_in)
     # Gauss-Legendre rule of enough points to integrate degree n-1 exactly

@@ -50,7 +50,7 @@ def xw_lgl(num_point: int) -> tuple[np.ndarray, np.ndarray]:
     match the reference's convention.
     """
     if num_point <= 0:
-        raise ValueError("Number of interpolation points must be at least 1.")
+        raise ValueError("at least one interpolation point is required")
     from pockit_tpu.numerics import native
 
     res = native.lgl(num_point)
@@ -81,7 +81,7 @@ def xw_lgr(num_point: int) -> tuple[np.ndarray, np.ndarray]:
     """Left LGR nodes (include -1, exclude +1) and quadrature weights on
     ``[-1, 1]`` (native C++ when available, see :func:`xw_lgl`)."""
     if num_point <= 0:
-        raise ValueError("Number of interpolation points must be at least 1.")
+        raise ValueError("at least one interpolation point is required")
     from pockit_tpu.numerics import native
 
     res = native.lgr(num_point)

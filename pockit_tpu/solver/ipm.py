@@ -284,6 +284,7 @@ def make_ip_solver(
                     delta_w_floor=delta_w_floor,
                     delta_w_max=opt.delta_w_max,
                     interpret=interpret,
+                    attempts=opt.pallas_attempts,
                 )
                 p_pcg = (
                     make_pcg_apply(p_apply, _bk_krylov + 2)
@@ -321,9 +322,13 @@ def make_ip_solver(
         # dtype-aware numerical safeguards: the float64 defaults are
         # meaningless at float32 precision (eps 6e-8), so floor them
         eps_dt = float(np.finfo(np.dtype(dtype)).eps)
-        pivot_rtol = max(opt.chol_pivot_rtol, 2.0 * np.sqrt(eps_dt))
-        delta_c_floor = max(opt.delta_c, 100.0 * eps_dt)
-        delta_w_floor = max(opt.delta_w_init, 10.0 * eps_dt)
+        # plain Python floats (weak scalars), NOT np.float64: a numpy
+        # scalar in traced arithmetic promotes float32 carries to float64
+        # under x64, breaking while_loop carry typing when an f32 solve is
+        # traced in an x64 process (e.g. lowering-only CI)
+        pivot_rtol = float(max(opt.chol_pivot_rtol, 2.0 * np.sqrt(eps_dt)))
+        delta_c_floor = float(max(opt.delta_c, 100.0 * eps_dt))
+        delta_w_floor = float(max(opt.delta_w_init, 10.0 * eps_dt))
 
         zl, zu = bounds.z_lb.astype(dtype), bounds.z_ub.astype(dtype)
         cl, cu = bounds.c_lb.astype(dtype), bounds.c_ub.astype(dtype)

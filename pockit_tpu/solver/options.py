@@ -76,6 +76,14 @@ class IPOptions:
     # (expander-free elementwise substitution — batch-shape-invariant
     # numerics, the TPU production form), or "auto" (unrolled off-CPU)
     block_core: str = "auto"
+    # block-local in-kernel retry depth for the Pallas factorization: a
+    # block that fails its own pivot test re-factors tile-locally in VMEM
+    # at a bumped per-block delta up to (pallas_attempts - 1) times before
+    # the lane asks for a full-batch escalation round. 1 disables (every
+    # failure costs a whole-batch HBM factorization round, the pre-r5
+    # behavior); 3 covers the dreg -> floor -> x10 ladder in one kernel
+    # call for the common marginal-pivot case.
+    pallas_attempts: int = 3
     # matmul precision for the whole solve ('highest' forces true float32
     # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
     # passes — fatal for Cholesky factorizations)

@@ -160,8 +160,8 @@ def _eye_lanes(n, dtype):
 def _factor_kernel(
     nb, ni_p, nr_p, ni_real, nr_real, pivot_rtol, delta_floor, attempts,
     kii_ref, kir_ref, krr_ref, dl_ref,
-    li_ref, sci_ref, xir_ref, lr_ref, scr_ref, piv_ref,
-    s_scr, piv_scr, du_scr, lb_scr, scb_scr, pb_scr, db_scr,
+    li_ref, sci_ref, xir_ref, lr_ref, scr_ref, piv_ref, dblk_ref,
+    s_scr, piv_scr, du_scr, lb_scr, scb_scr, pb_scr, db_scr, okb_scr,
 ):
     """One lane-tile of the block-arrow factorization with BLOCK-LOCAL
     inertia escalation: a block whose equilibrated Cholesky fails the
@@ -184,6 +184,7 @@ def _factor_kernel(
         piv_scr[0, :] = jnp.full((BT,), jnp.inf, dtype)
         piv_scr[1, :] = jnp.full((BT,), -jnp.inf, dtype)
         du_scr[0, :] = dl_ref[0, :]
+        okb_scr[0, :] = jnp.ones((BT,), dtype)
 
     def _chol_into(col_fn, diag_fn, nn, n_real, d):
         """Unrolled LEFT-LOOKING Cholesky with Jacobi equilibration of an
@@ -286,6 +287,19 @@ def _factor_kernel(
             )
 
         _attempted_chol(col_ii, diag_ii, ni_p, ni_real, base_d)
+        # BLOCK-LOCAL acceptance: each block's pivot ratio is judged
+        # against its own extrema at its own final delta (the global
+        # cross-block ratio test is meaningless once blocks sit at
+        # different retry levels); the lane passes iff every block does
+        dmin_b = pb_scr[0, :]
+        dmax_b = pb_scr[1, :]
+        ok_b = (
+            jnp.isfinite(dmin_b)
+            & jnp.isfinite(dmax_b)
+            & (dmin_b > pivot_rtol * dmax_b)
+        )
+        okb_scr[0, :] = okb_scr[0, :] * ok_b.astype(dtype)
+        dblk_ref[0, 0, :] = db_scr[0, :]
         L = lb_scr[:ni_p, :ni_p, :]
         sc = scb_scr[:ni_p, :]
         t = _fwd_sub(L, kir_ref[0] * sc[:, None, :])  # L^{-1} sc K_ir
@@ -347,13 +361,25 @@ def _factor_kernel(
         _attempted_chol(col_s, diag_s, nr_p, nr_real, zero_d)
         lr_ref[:] = lb_scr[:nr_p, :nr_p, :]
         scr_ref[:] = scb_scr[:nr_p, :]
+        # block-local acceptance for the reduced block (cf. _block)
+        dmin_r = pb_scr[0, :]
+        dmax_r = pb_scr[1, :]
+        ok_r = (
+            jnp.isfinite(dmin_r)
+            & jnp.isfinite(dmax_r)
+            & (dmin_r > pivot_rtol * dmax_r)
+        )
+        base_d = dl_ref[0, :]
+        # reduced-block delta is base (added at Schur init) + retry extra
+        dblk_ref[0, 0, :] = base_d + db_scr[0, :]
         pmin = jnp.minimum(piv_scr[0, :], pb_scr[0, :])
         pmax = jnp.maximum(piv_scr[1, :], pb_scr[1, :])
         finite = jnp.isfinite(pmin) & jnp.isfinite(pmax)
         nan = jnp.full_like(pmin, jnp.nan)
         piv_ref[0, :] = jnp.where(finite, pmin, nan)
         piv_ref[1, :] = jnp.where(finite, pmax, nan)
-        piv_ref[2, :] = jnp.maximum(du_scr[0, :], db_scr[0, :])
+        piv_ref[2, :] = jnp.maximum(du_scr[0, :], base_d + db_scr[0, :])
+        piv_ref[3, :] = okb_scr[0, :] * ok_r.astype(dtype)
 
 
 def _apply_down_kernel(
@@ -409,11 +435,11 @@ def _make_pallas_core(
     interpret=False,
     pivot_rtol=None,
     delta_w_floor=None,
-    # block-local in-kernel retry ladder depth. SHIPS DARK (1 = off): the
-    # per-block deltas it applies need a block-local acceptance test and
-    # a per-block refinement matvec before they are production-safe — the
-    # current global pivot test + uniform-delta matvec mis-handle a
-    # factorization whose blocks sit at different levels (BENCH_NOTES r4)
+    # block-local in-kernel retry ladder depth: a block failing its own
+    # pivot-ratio test re-factors in VMEM at a bumped per-block delta up
+    # to attempts-1 times before the lane buys a full-batch escalation
+    # round. Production-safe since r5: acceptance is block-local and the
+    # refinement matvec applies the per-block levels (d_blk output).
     attempts=1,
 ):
     interior = np.asarray(interior)
@@ -488,8 +514,13 @@ def _make_pallas_core(
         """Inputs batch-last padded: (nb, ni_p, ni_p, B), (nb, ni_p, nr_p,
         B), (nr_p, nr_p, B); ``delta`` (B,) per-lane base regularization
         (added to the diagonal IN KERNEL). Returns (fac, p_min (B,),
-        p_max (B,), delta_used (B,)) — delta_used is the per-lane max
-        level after block-local escalation."""
+        p_max (B,), delta_used (B,), d_blk (nb+1, B), ok (B,)) —
+        delta_used is the per-lane max level after block-local
+        escalation, d_blk the PER-BLOCK levels actually factored
+        (interiors then reduced; feed to :func:`_ba_mv` so refinement
+        targets the factored system), and ok the lane-level block-local
+        acceptance (every block's pivot ratio passed at its final
+        level)."""
         dtype = K_ii.dtype
         B = K_ii.shape[-1]
         T = B // _BT
@@ -550,7 +581,14 @@ def _make_pallas_core(
                     (nr_p, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (3, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                    (4, _BT), lambda t, b: (0, t), memory_space=pltpu.VMEM
+                ),
+                # (nb+1, 1, B) with a singleton middle dim: Mosaic requires
+                # the LAST TWO block dims be 8/128-divisible or full-size,
+                # so the per-block row rides the leading (grid-mapped) dim
+                pl.BlockSpec(
+                    (1, 1, _BT), lambda t, b: (b, 0, t),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_shape=[
@@ -559,7 +597,8 @@ def _make_pallas_core(
                 jax.ShapeDtypeStruct((nb, ni_p, nr_p, B), dtype),
                 jax.ShapeDtypeStruct((nr_p, nr_p, B), dtype),
                 jax.ShapeDtypeStruct((nr_p, B), dtype),
-                jax.ShapeDtypeStruct((3, B), dtype),
+                jax.ShapeDtypeStruct((4, B), dtype),
+                jax.ShapeDtypeStruct((nb + 1, 1, B), dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nr_p, nr_p, _BT), dtype),
@@ -569,12 +608,13 @@ def _make_pallas_core(
                 pltpu.VMEM((mx, _BT), dtype),
                 pltpu.VMEM((2, _BT), dtype),
                 pltpu.VMEM((1, _BT), dtype),
+                pltpu.VMEM((1, _BT), dtype),
             ],
             interpret=interpret,
         )(K_ii, K_ir, K_rr, delta2)
-        L_i, sc_i, X_ir, L_r, sc_r, piv = out
+        L_i, sc_i, X_ir, L_r, sc_r, piv, d_blk = out
         fac = (L_i, sc_i, X_ir, K_ir, L_r, sc_r)
-        return fac, piv[0], piv[1], piv[2]
+        return fac, piv[0], piv[1], piv[2], d_blk[:, 0, :], piv[3] > 0.5
 
     def apply(fac, rhs):
         """fac batch-last padded (B_pad lanes); rhs (B, n) -> x (B, n)."""
@@ -715,6 +755,7 @@ def make_newton_dir(
     delta_w_max: float,
     refine_steps: int = 1,
     interpret: bool = False,
+    attempts: int = 3,
 ):
     """Build ``(newton_dir, apply_one)`` for the Pallas KKT path.
 
@@ -741,6 +782,7 @@ def make_newton_dir(
         interpret=interpret,
         pivot_rtol=pivot_rtol,
         delta_w_floor=delta_w_floor,
+        attempts=attempts,
     )
     # per-lane fallback pinned to the lax primitives: custom_vmap stages the
     # per-lane fn into a jaxpr on EVERY call (batched or not), so the
@@ -767,13 +809,18 @@ def make_newton_dir(
     G2_red = np.zeros((nr, n))
     G2_red[np.arange(nr), reduced] = 1.0
 
-    def _ba_mv(K_ii, K_ir, K_rr, delta, x):
-        """Block-arrow matvec ``(K + delta I) x`` on batch-leading raw
-        blocks (x ``(..., n)``; leading batch axes optional). Used for the
-        in-factorization iterative refinement: the f32 interior-elimination
-        loses ~a digit of backward stability on near-singular Schur
-        complements vs LAPACK, and one residual correction against the
-        *factored* (perturbed) system wins it back."""
+    def _ba_mv(K_ii, K_ir, K_rr, d_int, d_red, x):
+        """Block-arrow matvec ``(K + D) x`` on batch-leading raw blocks
+        (x ``(..., n)``; leading batch axes optional), with PER-BLOCK
+        diagonal shifts: ``d_int (..., nb)`` for the interval interiors
+        and ``d_red (...)`` for the reduced block — the levels the factor
+        kernel actually used after block-local retries. Used for the
+        in-factorization iterative refinement: the f32 interior-
+        elimination loses ~a digit of backward stability on near-singular
+        Schur complements vs LAPACK, and one residual correction against
+        the *factored* (perturbed) system wins it back; with block-local
+        escalation the factored system's shift is block-wise, so a
+        uniform-delta matvec would refine toward the wrong operator."""
         Gi = jnp.asarray(G2_int, x.dtype)
         Gr = jnp.asarray(G2_red, x.dtype)
         x_i = _einsum("...n,kin->...ki", x, Gi)  # phantom slots read 0
@@ -781,28 +828,30 @@ def make_newton_dir(
         y_i = (
             _einsum("...kij,...kj->...ki", K_ii, x_i)
             + _einsum("...kij,...j->...ki", K_ir, x_r)
-            + delta[..., None, None] * x_i
+            + d_int[..., None] * x_i
         )
         y_r = (
             _einsum("...kij,...ki->...j", K_ir, x_i)
             + _einsum("...ij,...j->...i", K_rr, x_r)
-            + delta[..., None] * x_r
+            + d_red[..., None] * x_r
         )
         return _einsum("...ki,kin->...n", y_i, Gi) + _einsum(
             "...r,rn->...n", y_r, Gr
         )
 
     def _schedule(delta, tries, dreg):
-        """Inertia-escalation schedule (mirrors solver/ipm.py reg_body)."""
+        """Inertia-escalation schedule (mirrors solver/ipm.py reg_body).
+        Floors are cast to the carry dtype — a stray np.float64 scalar
+        would promote the f32 escalation carry under x64."""
+        floor = jnp.asarray(delta_w_floor, delta.dtype)
+        cap = jnp.asarray(delta_w_max, delta.dtype)
         return jnp.where(
             tries == 0,
             dreg,
             jnp.where(
-                (tries == 1) & (dreg < delta_w_floor),
-                jnp.asarray(delta_w_floor, delta.dtype),
-                jnp.minimum(
-                    jnp.maximum(delta, delta_w_floor) * 10.0, delta_w_max
-                ),
+                (tries == 1) & (dreg < floor),
+                floor,
+                jnp.minimum(jnp.maximum(delta, floor) * 10.0, cap),
             ),
         )
 
@@ -855,7 +904,16 @@ def make_newton_dir(
             fac, chol_ok = _lane_factor(K_ii, K_ir, K_rr, delta_new)
             dz = apply_one(fac, rhs)
             for _ in range(refine_steps):
-                r = rhs - _ba_mv(K_ii, K_ir, K_rr, delta_new, dz)
+                # the lax fallback has no block-local retries: the
+                # factored shift is uniform delta_new on every block
+                r = rhs - _ba_mv(
+                    K_ii,
+                    K_ir,
+                    K_rr,
+                    jnp.broadcast_to(delta_new, (nb,)),
+                    delta_new,
+                    dz,
+                )
                 dz_t = dz + apply_one(fac, r)
                 dz = jnp.where(jnp.all(jnp.isfinite(dz_t)), dz_t, dz)
             ok = (
@@ -897,22 +955,24 @@ def make_newton_dir(
         def try_delta(delta):  # delta (B,) base level; kernel may escalate
             delta_p = jnp.pad(delta, (0, B_pad - B))
             # the kernel adds delta on the diagonal AND retries failing
-            # blocks VMEM-locally at a bumped per-lane level (block-local
+            # blocks VMEM-locally at a bumped per-block level (block-local
             # escalation) — no (B, nb, ni, ni) delta materialization, and
-            # marginal pivot failures no longer cost an HBM round
-            fac, p_min, p_max, d_used = core.factor(
+            # marginal pivot failures no longer cost a full-batch HBM
+            # factorization round. chol_ok is the kernel's block-local
+            # acceptance: every block passed its own pivot-ratio test at
+            # its final level.
+            fac, p_min, p_max, d_used, d_blk, allok = core.factor(
                 Kii_t, Kir_t, Krr_t, delta_p
             )
-            p_min, p_max = p_min[:B], p_max[:B]
             d_used = d_used[:B]
-            chol_ok = (
-                jnp.isfinite(p_min)
-                & jnp.isfinite(p_max)
-                & (p_min > pivot_rtol * p_max)
-            )
+            chol_ok = allok[:B]
+            d_blk = jnp.moveaxis(d_blk, -1, 0)[:B]  # (B, nb+1)
             dz = core.apply(fac, rhs)
             for _ in range(refine_steps):
-                r = rhs - _ba_mv(K_ii, K_ir, K_rr, d_used, dz)
+                # refine against the factored operator: per-block shifts
+                r = rhs - _ba_mv(
+                    K_ii, K_ir, K_rr, d_blk[:, :-1], d_blk[:, -1], dz
+                )
                 dz_t = dz + core.apply(fac, r)
                 dz = jnp.where(
                     jnp.all(jnp.isfinite(dz_t), axis=1, keepdims=True),

@@ -69,10 +69,22 @@ class _CompiledPhase:
         # Slots already owned by a FIXED/FUNC boundary condition are
         # skipped (the boundary condition wins at the overlap).
         bc_owned = set(fixed_idx) | {i for i, _ in func_bcs}
+        fixed_by_idx = dict(zip(fixed_idx, fixed_vals))
         for idx, val in phase.pinned_variable_slots:
             if idx not in bc_owned:
                 fixed_idx.append(idx)
                 fixed_vals.append(val)
+            elif idx in fixed_by_idx and fixed_by_idx[idx] != val:
+                # the boundary condition wins at the overlap, but a FIXED
+                # value that contradicts the pin makes the configuration
+                # infeasible (the reference's equality rows would clash at
+                # solve time) — report it at compile time instead
+                raise ValueError(
+                    f"phase variable slot {idx} is pinned to {val} by an "
+                    "equal-bound phase constraint but its boundary "
+                    f"condition fixes it to {fixed_by_idx[idx]}; the "
+                    "problem is infeasible"
+                )
         self.fixed_idx = np.array(fixed_idx, dtype=np.int32)
         self.fixed_vals = np.array(fixed_vals, dtype=np.float64)
         self.func_bcs = func_bcs
@@ -255,5 +267,7 @@ class CompiledSystem:
 def compile_system(system) -> CompiledSystem:
     """Lower a fully configured ``System`` into jitted NLP functions."""
     if not system.ok:
-        raise ValueError("system is not fully configured")
+        raise ValueError(
+            "system setup is incomplete: set phases and an objective first"
+        )
     return CompiledSystem(system)

@@ -10,9 +10,9 @@ from pockit_tpu.optimizer import ipm
 
 def test_reserved_time_symbol():
     system = lobatto.System(0)
-    with pytest.raises(ValueError, match="reserved"):
+    with pytest.raises(ValueError, match="time symbol"):
         system.new_phase(["t"], ["u"])
-    with pytest.raises(ValueError, match="reserved"):
+    with pytest.raises(ValueError, match="time symbol"):
         system.new_phase(["x"], ["t"])
 
 
@@ -20,7 +20,7 @@ def test_dynamics_length_mismatch():
     system = lobatto.System(0)
     phase = system.new_phase(["x", "y"], ["u"])
     (u,) = phase.u
-    with pytest.raises(ValueError, match="number of dynamics"):
+    with pytest.raises(ValueError, match="one expression per state"):
         phase.set_dynamics([u])
 
 
@@ -28,14 +28,14 @@ def test_phase_constraint_length_mismatch():
     system = lobatto.System(0)
     phase = system.new_phase(["x"], ["u"])
     (x,) = phase.x
-    with pytest.raises(ValueError, match="same length"):
+    with pytest.raises(ValueError, match="parallel"):
         phase.set_phase_constraint([x], [0.0], [1.0, 2.0])
 
 
 def test_boundary_condition_length_mismatch():
     system = lobatto.System(0)
     phase = system.new_phase(["x", "y"], ["u"])
-    with pytest.raises(ValueError, match="same length"):
+    with pytest.raises(ValueError, match="per state variable"):
         phase.set_boundary_condition([0.0], [None, None], 0.0, 1.0)
 
 
@@ -45,14 +45,14 @@ def test_bang_bang_requires_finite_strict_bounds():
     (u,) = phase.u
     with pytest.raises(ValueError, match="finite"):
         phase.set_phase_constraint([u], [-np.inf], [1.0], bang_bang_control=True)
-    with pytest.raises(ValueError, match="strictly less"):
+    with pytest.raises(ValueError, match="upper_bound > lower_bound"):
         phase.set_phase_constraint([u], [1.0], [1.0], bang_bang_control=True)
 
 
 def test_num_point_mesh_mismatch():
     system = lobatto.System(0)
     phase = system.new_phase(["x"], ["u"])
-    with pytest.raises(ValueError, match="same length as mesh"):
+    with pytest.raises(ValueError, match="per mesh subinterval"):
         phase.set_discretization(np.array([0.0, 0.5, 1.0]), np.array([4]))
 
 
@@ -61,7 +61,7 @@ def test_incomplete_phase_rejected_by_system():
     phase = system.new_phase(["x"], ["u"])
     (u,) = phase.u
     phase.set_dynamics([u])  # no BCs, no mesh
-    with pytest.raises(ValueError, match="not fully set"):
+    with pytest.raises(ValueError, match="missing required settings"):
         system.set_phase([phase])
 
 
@@ -77,7 +77,7 @@ def test_solve_guess_shape_checks():
     system.set_objective(p_sym**2)
     guess = lobatto.constant_guess(phase, 0.0)
     # statics present: a bare Variable guess is rejected
-    with pytest.raises(ValueError, match="number of phases"):
+    with pytest.raises(ValueError, match="phase Variable"):
         ipm.solve(system, guess)
 
 
@@ -91,7 +91,7 @@ def test_unconfigured_system_rejected():
     system.set_phase([phase])
     # no objective set
     guess = lobatto.constant_guess(phase, 0.0)
-    with pytest.raises(ValueError, match="not fully configured"):
+    with pytest.raises(ValueError, match="setup is incomplete"):
         ipm.solve(system, guess)
 
 

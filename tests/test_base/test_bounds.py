@@ -123,3 +123,44 @@ def test_pinned_variable_becomes_parameter():
         np.testing.assert_allclose(
             float(np.asarray(res.x[0])[-1]), 1.75, atol=1e-8
         )
+
+
+def test_pin_conflicts_are_reported():
+    """A pin that contradicts another box on the same variable, a second
+    different pin, or a FIXED boundary condition at the shared slot makes
+    the problem infeasible — report it at configure/compile time instead
+    of silently substituting one of the values (advisor r4)."""
+    import pytest
+
+    def fresh():
+        system = lobatto.System(0)
+        phase = system.new_phase(["x"], ["u"])
+        (x,) = phase.x
+        (u,) = phase.u
+        phase.set_dynamics([u])
+        phase.set_integral([x**2])
+        return system, phase, u
+
+    # pin outside a second box on the same variable
+    system, phase, u = fresh()
+    with pytest.raises(ValueError, match="pinned to 2.0 but another"):
+        phase.set_phase_constraint([u, u], [0.0, 2.0], [1.0, 2.0])
+
+    # two different pins
+    system, phase, u = fresh()
+    with pytest.raises(ValueError, match="conflicting values"):
+        phase.set_phase_constraint([u, u], [2.0, 3.0], [2.0, 3.0])
+
+    # pin inside the box is fine (pin wins, box redundant)
+    system, phase, u = fresh()
+    phase.set_phase_constraint([u, u], [0.0, 0.5], [1.0, 0.5])
+
+    # pin disagreeing with a FIXED boundary condition at the overlap slot
+    system, phase, u = fresh()
+    phase.set_phase_constraint([phase.x[0]], [2.0], [2.0])
+    phase.set_boundary_condition([1.0], [None], 0.0, 1.0)
+    phase.set_discretization(2, 3)
+    system.set_phase([phase])
+    system.set_objective(phase.I[0])
+    with pytest.raises(ValueError, match="boundary\ncondition fixes it|boundary condition fixes it"):
+        system.compiled

@@ -59,3 +59,15 @@ def test_extreme_constant_without_exp_left_alone():
     x = sp.Symbol("x")
     expr = sp.Float(1e40) * x
     assert _fold_extreme_exp_coeffs(expr) == expr
+
+
+def test_fold_coefficient_beyond_float64_range():
+    """A coefficient that overflows float64 (float(c) == inf) must still
+    fold via a sympy-precision log instead of math.log(inf) = inf, which
+    produced exp(arg + oo) == inf/nan everywhere (advisor r4)."""
+    h = sp.Symbol("h")
+    expr = sp.sympify(310 * sp.exp(-800 * (h - 1)))  # c = 310*e^800 > 1.8e308
+    fn = LoweredFunc(expr, [h])
+    got = float(fn([np.float32(1.01)]))
+    want = 310.0 * np.exp(-800.0 * 0.01)
+    np.testing.assert_allclose(got, want, rtol=2e-5)

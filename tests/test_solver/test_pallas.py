@@ -143,6 +143,54 @@ class TestNewtonDir:
         assert bool(jnp.all(ok))
 
 
+    def test_in_kernel_retry_ladder(self):
+        """The block-local retry ladder (attempts > 1) resolves an
+        indefinite block inside ONE factor call: the kernel re-factors
+        only the failing block at a bumped per-block delta, reports the
+        per-block levels in d_blk, passes the block-local acceptance, and
+        the factors solve the block-shifted system to f32 accuracy."""
+        from pockit_tpu.solver.pallas_kkt import _make_pallas_core
+
+        interior, reduced, n, K_ii, K_ir, K_rr, rhs = _block_arrow_problem(5)
+        nb, ni = interior.shape
+        B = rhs.shape[0]
+        K_bad = K_ii.copy()
+        # make interior block 1 of EVERY lane mildly indefinite (min eig
+        # ~ -0.5) so the base factorization must retry that block (and
+        # only that block) within the in-kernel ladder's reach
+        # (floor -> x10 -> x10: max 1.0 at attempts=4)
+        K_bad[:, 1] -= (ni + 0.5) * np.eye(ni, dtype=np.float32)
+
+        floor = 1e-2
+        core = _make_pallas_core(
+            interior, reduced, n, interpret=True,
+            pivot_rtol=1e-7, delta_w_floor=floor, attempts=4,
+        )
+        Kt = core.pad_move(*(jnp.asarray(a) for a in (K_bad, K_ir, K_rr)))
+        delta0 = jnp.zeros((Kt[0].shape[-1],), F32)
+        fac, pmin, pmax, dused, dblk, okl = core.factor(*Kt, delta0)
+        dblk = np.asarray(dblk)[:, :B]
+        assert bool(np.asarray(okl)[:B].all()), "retries must restore SPD"
+        # only block 1 escalates (most lanes; a lane whose shifted block
+        # happens to stay SPD keeps 0); every other block stays at base 0
+        assert (dblk[1] >= floor).sum() >= B - 2
+        mask = np.ones(nb + 1, bool)
+        mask[1] = False
+        assert np.abs(dblk[mask]).max() == 0.0
+        assert np.allclose(np.asarray(dused)[:B], dblk[1])
+
+        # back-solve + per-block-shift parity vs dense f64 ground truth
+        x = np.asarray(core.apply(fac, jnp.asarray(rhs)))
+        for lane in range(B):
+            K = _dense(interior, reduced, n, K_bad, K_ir, K_rr, lane)
+            for k in range(nb):
+                K[np.ix_(interior[k], interior[k])] += dblk[k, lane] * np.eye(ni)
+            K[np.ix_(reduced, reduced)] += dblk[nb, lane] * np.eye(len(reduced))
+            x_ref = np.linalg.solve(K, rhs[lane])
+            rel = np.max(np.abs(x[lane] - x_ref)) / max(np.max(np.abs(x_ref)), 1e-30)
+            assert rel < 5e-4, (lane, rel)
+
+
 def _lqr():
     import pockit_tpu.lobatto as lobatto
 

@@ -118,8 +118,11 @@ def build_goddard():
 
 
 def goddard_bc(compiled, B, rng):
-    # p1 fixed_vals: [h0, v0, m0, t0]; perturb launch mass m0; lane 0
-    # nominal. p2/p3 fixed values (the MF slots) stay as configured.
+    # p1 fixed_vals: BC slots [h0, v0, m0, t0] first, then the pinned
+    # control slots (u pinned to U_MAX in phase 1, to 0 in phase 3 —
+    # pinned lb==ub variables append AFTER the BC slots); perturb launch
+    # mass m0 (slot 2); lane 0 nominal. p2/p3 fixed values (the MF slots
+    # and p3's pinned-u slots) stay as configured.
     bcs = []
     for i, cp in enumerate(compiled.phases):
         bc = np.tile(cp.fixed_vals, (B, 1))

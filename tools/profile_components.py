@@ -260,7 +260,7 @@ def main():
             Kii_t, Kir_t, Krr_t = _padded_blocks(z, y, D, bc)
 
             def body(carry, _):
-                fac, pmin, pmax, dused = core.factor(
+                fac, pmin, pmax, dused, dblk, okl = core.factor(
                     Kii_t + carry * 1e-7, Kir_t, Krr_t,
                     jnp.zeros((Kii_t.shape[-1],), dtype),
                 )
@@ -274,7 +274,7 @@ def main():
     def mk_apply_scan(K):
         def run(z, y, D, bc):
             Kt = _padded_blocks(z, y, D, bc)
-            fac, pmin, pmax, dused = core.factor(*Kt, jnp.zeros((Kt[0].shape[-1],), dtype))
+            fac, pmin, pmax, dused, dblk, okl = core.factor(*Kt, jnp.zeros((Kt[0].shape[-1],), dtype))
 
             def body(carry, _):
                 x = core.apply(fac, carry)

@@ -42,7 +42,7 @@ def probe(nb, ni, nr, attempts, B=256):
 
     t0 = time.time()
     Kt = core.pad_move(K_ii, K_ir, K_rr)
-    fac, pmin, pmax, dused = core.factor(*Kt, jnp.pad(delta, (0, Kt[0].shape[-1] - B)))
+    fac, pmin, pmax, dused, dblk, okl = core.factor(*Kt, jnp.pad(delta, (0, Kt[0].shape[-1] - B)))
     rhs = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
     x = core.apply(fac, rhs)
     x_h = np.asarray(x)

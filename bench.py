@@ -65,14 +65,25 @@ def bench_options():
     features each trial round, and the warm LQR batch never needs them;
     the drain rounds retain the full machinery for any lane the lean
     pass cannot finish.
+
+    pallas_attempts=3: the f32 LQR's delta_c-scaled blocks hover at the
+    pivot threshold on chip, and the in-kernel per-block micro-bumps
+    (floor-level) resolve them without whole-batch escalation rounds —
+    measured load-bearing for the 2-iteration budget (attempts=1:
+    converged_frac 0.66, parity 1.3e-4; attempts=3: 1.0, 1.7e-7). The
+    GLOBAL default stays 1 because nonuniform bumps measurably harm hard
+    nonconvex gates (Goddard; see BENCH_NOTES r5) — this is a
+    per-workload tuning knob, and the LQR sweep is the workload here.
     """
     from pockit_tpu.solver import IPOptions
 
     opts_fast = IPOptions(
         tol=5e-6, max_iter=2, refine_steps=3, max_ls=4,
-        soc=False, feasibility_fallback=False,
+        soc=False, feasibility_fallback=False, pallas_attempts=3,
     )
-    opts_drain = IPOptions(tol=5e-6, max_iter=80, refine_steps=3)
+    opts_drain = IPOptions(
+        tol=5e-6, max_iter=80, refine_steps=3, pallas_attempts=3,
+    )
     return opts_fast, opts_drain
 
 

@@ -55,6 +55,7 @@ class SystemBase:
         self._objective_set = False
         self._system_constraint_set = False
         self._compiled = None
+        self._nlp_structure_cache = None
         self.set_phase([])
         self.set_system_constraint([], [], [])
 
@@ -82,6 +83,7 @@ class SystemBase:
         self._num_phase = len(self._phase)
         self._phase_set = True
         self._compiled = None
+        self._nlp_structure_cache = None
         return self
 
     def set_objective(self, objective, *, cache: Optional[str] = None) -> Self:
@@ -90,6 +92,7 @@ class SystemBase:
         self._expr_objective = sp.sympify(objective)
         self._objective_set = True
         self._compiled = None
+        self._nlp_structure_cache = None
         return self
 
     def set_system_constraint(
@@ -113,11 +116,13 @@ class SystemBase:
         self._system_constraint_user_ub = upper_bound
         self._system_constraint_set = True
         self._compiled = None
+        self._nlp_structure_cache = None
         return self
 
     def update(self) -> None:
         """Invalidate compiled state after mutating a phase in place."""
         self._compiled = None
+        self._nlp_structure_cache = None
 
     # ------------------------------------------------------------------
     # layout (reference: ``systembase.py:258-282``)
@@ -285,28 +290,119 @@ class SystemBase:
             self._compiled = compile_system(self)
         return self._compiled
 
-    # reference-compatible NLP callbacks (host-side convenience wrappers)
+    # ------------------------------------------------------------------
+    # cyipopt-protocol NLP callbacks (reference: the System object is
+    # itself the problem object handed to cyipopt,
+    # ``/root/reference/pockit/base/systembase.py:602-835`` +
+    # ``optimizer/ipopt.py:41-53``). Sparse methods return plain 1D value
+    # arrays whose coordinates come from the matching *structure()
+    # method, lower triangle only for Hessians — exactly the surface an
+    # in-process real-IPOPT cross-check consumes. Dense forms remain
+    # available on ``system.compiled`` (jacobian/hessian there return
+    # (m, L) / (L, L) arrays).
+    # ------------------------------------------------------------------
     def objective(self, x) -> float:
         """Objective of the discretized NLP at the flat vector ``x``."""
         return float(self.compiled.objective(np.asarray(x)))
 
     def gradient(self, x) -> np.ndarray:
-        """Dense objective gradient."""
+        """Dense objective gradient (cyipopt takes gradients dense)."""
         return np.asarray(self.compiled.gradient(np.asarray(x)))
 
     def constraints(self, x) -> np.ndarray:
         """Constraint values, ordered [system, per phase: dynamic, path]."""
         return np.asarray(self.compiled.constraints(np.asarray(x)))
 
+    def _nlp_structure(self):
+        """Sparsity patterns (COO coordinates) of the constraint Jacobian
+        and the objective/constraint Hessians, derived by evaluating the
+        exact AD operators at a few generic points and taking the union
+        of their nonzero supports (fixed seed; a structural entry that
+        vanishes at three independent generic points has measure zero).
+        The resulting Jacobian pattern is the transcription's block-arrow
+        footprint: interval-local bands plus border/static columns."""
+        cached = getattr(self, "_nlp_structure_cache", None)
+        if cached is not None:
+            return cached
+        compiled = self.compiled
+        rng = np.random.default_rng(20260821)
+        m = compiled.m
+
+        def union(sample):
+            mask = None
+            for _ in range(3):
+                a = np.asarray(sample(rng)) != 0.0
+                mask = a if mask is None else (mask | a)
+            return np.nonzero(mask)
+
+        x_of = lambda rng: 0.25 + 0.5 * rng.standard_normal(self.L)
+        jac_rc = union(lambda r: compiled.jacobian(x_of(r)))
+        hess_o_rc = union(lambda r: compiled.hessian(x_of(r), np.zeros(m), 1.0))
+        hess_c_rc = union(
+            lambda r: compiled.hessian(x_of(r), r.standard_normal(m), 0.0)
+        )
+
+        def lower(rc):
+            r, c = rc
+            keep = r >= c
+            return r[keep].astype(np.int64), c[keep].astype(np.int64)
+
+        self._nlp_structure_cache = (
+            (jac_rc[0].astype(np.int64), jac_rc[1].astype(np.int64)),
+            lower(hess_o_rc),
+            lower(hess_c_rc),
+        )
+        return self._nlp_structure_cache
+
+    def jacobianstructure(self) -> tuple[np.ndarray, np.ndarray]:
+        """COO coordinates of the constraint Jacobian."""
+        return self._nlp_structure()[0]
+
     def jacobian(self, x) -> np.ndarray:
-        """Dense constraint Jacobian (m, L)."""
-        return np.asarray(self.compiled.jacobian(np.asarray(x)))
+        """Constraint-Jacobian values as a plain 1D array, coordinates
+        given by :meth:`jacobianstructure`."""
+        rows, cols = self.jacobianstructure()
+        J = np.asarray(self.compiled.jacobian(np.asarray(x)))
+        return J[rows, cols]
+
+    def hessianstructure_o(self) -> tuple[np.ndarray, np.ndarray]:
+        """COO coordinates (lower triangle) of the objective Hessian."""
+        return self._nlp_structure()[1]
+
+    def hessian_o(self, x) -> np.ndarray:
+        """Objective-Hessian values at :meth:`hessianstructure_o`."""
+        rows, cols = self.hessianstructure_o()
+        m = self.compiled.m
+        H = np.asarray(self.compiled.hessian(np.asarray(x), np.zeros(m), 1.0))
+        return H[rows, cols]
+
+    def hessianstructure_c(self) -> tuple[np.ndarray, np.ndarray]:
+        """COO coordinates (lower triangle) of the summed constraint
+        Hessian."""
+        return self._nlp_structure()[2]
+
+    def hessian_c(self, x, fct_c) -> np.ndarray:
+        """Values of ``sum_i fct_c[i] * hess(c_i)`` at
+        :meth:`hessianstructure_c`."""
+        rows, cols = self.hessianstructure_c()
+        H = np.asarray(
+            self.compiled.hessian(np.asarray(x), np.asarray(fct_c), 0.0)
+        )
+        return H[rows, cols]
+
+    def hessianstructure(self) -> tuple[np.ndarray, np.ndarray]:
+        """COO coordinates (lower triangle) of the Lagrangian Hessian:
+        objective coordinates followed by constraint coordinates
+        (duplicates are summed by the consumer, as cyipopt does)."""
+        (ro, co), (rc_, cc_) = self._nlp_structure()[1], self._nlp_structure()[2]
+        return np.concatenate([ro, rc_]), np.concatenate([co, cc_])
 
     def hessian(self, x, fct_c, fct_o) -> np.ndarray:
-        """Dense Hessian of ``fct_o * f + fct_c @ c`` (the NLP Lagrangian
-        without bound terms)."""
-        return np.asarray(
-            self.compiled.hessian(np.asarray(x), np.asarray(fct_c), float(fct_o))
+        """Lagrangian-Hessian values ``fct_o * hess(f) + hess_c(fct_c)``
+        at :meth:`hessianstructure` (objective block scaled by ``fct_o``
+        followed by the constraint block)."""
+        return np.concatenate(
+            [self.hessian_o(x) * float(fct_o), self.hessian_c(x, fct_c)]
         )
 
     # ------------------------------------------------------------------

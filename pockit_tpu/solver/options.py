@@ -79,11 +79,20 @@ class IPOptions:
     # block-local in-kernel retry depth for the Pallas factorization: a
     # block that fails its own pivot test re-factors tile-locally in VMEM
     # at a bumped per-block delta up to (pallas_attempts - 1) times before
-    # the lane asks for a full-batch escalation round. 1 disables (every
-    # failure costs a whole-batch HBM factorization round, the pre-r5
-    # behavior); 3 covers the dreg -> floor -> x10 ladder in one kernel
-    # call for the common marginal-pivot case.
-    pallas_attempts: int = 3
+    # the lane asks for a full-batch escalation round. DEFAULT 1 (off):
+    # measured on the f32 Goddard gate (batched, pallas path), per-block
+    # retries let hard lanes pass with NONUNIFORMLY-damped blocks whose
+    # directions the filter then rejects — convergence fell from 100%
+    # (attempts=1) to 62%/38% (attempts=2/3) with mean iterations 6.8 ->
+    # 65/104; even floor-magnitude (1e-6) nonuniform bumps showed the
+    # effect. The uniform outer escalation ladder is the load-bearing
+    # inertia correction. Raise only for batch-homogeneous convex
+    # workloads (validated on the LQR QP bench: attempts=3 converges
+    # 100% at full speed) where whole-batch escalation rounds are the
+    # dominant cost. The BLOCK-LOCAL ACCEPTANCE test (each block judged
+    # against its own pivot extrema) is always on and is what improved
+    # step quality in r5 — this flag only controls in-kernel re-factoring.
+    pallas_attempts: int = 1
     # matmul precision for the whole solve ('highest' forces true float32
     # accumulation on TPU, where the default lowers f32 matmuls to bfloat16
     # passes — fatal for Cholesky factorizations)

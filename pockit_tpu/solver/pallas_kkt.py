@@ -755,7 +755,7 @@ def make_newton_dir(
     delta_w_max: float,
     refine_steps: int = 1,
     interpret: bool = False,
-    attempts: int = 3,
+    attempts: int = 1,
 ):
     """Build ``(newton_dir, apply_one)`` for the Pallas KKT path.
 

@@ -95,6 +95,25 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # seed the working cache from the committed entries: together with
+    # the StableHLO artifacts this takes a fresh checkout's cold start
+    # from 140-280 s of remote XLA compile down to the ~45 s
+    # executable-load floor of the tunnel (BENCH_NOTES r5 "AOT cold
+    # start"). Copy, don't point the cache dir at the repo: runs write
+    # new entries and must not dirty the tree.
+    seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "xla_cache")
+    if os.path.isdir(seed_dir):
+        import shutil
+
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        for name in os.listdir(seed_dir):
+            dst = os.path.join("/root/repo/.jax_cache", name)
+            if not os.path.exists(dst):
+                try:
+                    shutil.copy2(os.path.join(seed_dir, name), dst)
+                except OSError:
+                    pass  # cache seeding is best-effort
 
     import jax.numpy as jnp
 

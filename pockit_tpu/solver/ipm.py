@@ -285,6 +285,7 @@ def make_ip_solver(
                     delta_w_max=opt.delta_w_max,
                     interpret=interpret,
                     attempts=opt.pallas_attempts,
+                    residual_rtol=opt.newton_residual_rtol,
                 )
                 p_pcg = (
                     make_pcg_apply(p_apply, _bk_krylov + 2)
@@ -753,6 +754,24 @@ def make_ip_solver(
             eye = jnp.eye(n, dtype=dtype)
             step_cap = 1e3 * (one + jnp.linalg.norm(z))
 
+            # f32 inertia-detectability floor (options.delta_w_min):
+            # clamp the escalation entry level while GLOBALIZING (theta
+            # above the endgame threshold) so every factorization is
+            # numerically decidable; released in the endgame, where steps
+            # are small and the saddle refinement needs the small-delta
+            # system to certify to tolerance. The ladder only ascends
+            # from its entry level, so clamping dreg covers every rung.
+            dreg_eff = st.dreg
+            if opt.delta_w_min:
+                theta_pre = (
+                    jnp.sum(jnp.abs(r_c)) if m else jnp.asarray(0.0, dtype)
+                )
+                dreg_eff = jnp.where(
+                    theta_pre > theta_min,
+                    jnp.maximum(st.dreg, jnp.asarray(opt.delta_w_min, dtype)),
+                    st.dreg,
+                )
+
             if use_pallas:
                 # fused Pallas factorization: the inertia-escalation loop
                 # lives inside newton_dir's batched rule (factors must not
@@ -780,7 +799,7 @@ def make_ip_solver(
                         st.dreg, step_cap, z, y, D, rt["bc"][0],
                     )
                 dz, _p_fac, delta_w, reg_ok = _p_newton(
-                    K_ii0, K_ir0, K_rr0, rhs, st.dreg, step_cap, active
+                    K_ii0, K_ir0, K_rr0, rhs, dreg_eff, step_cap, active
                 )
 
                 def chol_solve(b):
@@ -898,6 +917,13 @@ def make_ip_solver(
                 factors0 = (eye, jnp.ones((n,), dtype))
 
             if not use_pallas:
+                # residual acceptance (see options.newton_residual_rtol):
+                # usable when the factored operator's matvec is exact —
+                # block mode without a low-rank discrepancy, or the dense/
+                # structured paths where K is materialized
+                _res_check = bool(opt.newton_residual_rtol) and (
+                    not use_block or not _bk_krylov
+                )
 
                 def _try(delta):
                     if use_block:
@@ -911,6 +937,19 @@ def make_ip_solver(
                         & jnp.all(jnp.isfinite(dz))
                         & (jnp.linalg.norm(dz) <= step_cap)
                     )
+                    if _res_check:
+                        if use_block:
+                            Kdz = w_mv(dz) + (sigma_z + delta) * dz
+                            if m:
+                                Kdz = Kdz + jt_mv(D * j_mv(dz))
+                        else:
+                            Kdz = (K0 + delta * eye) @ dz
+                        r_fin = rhs - Kdz
+                        ok = ok & (
+                            jnp.linalg.norm(r_fin)
+                            <= opt.newton_residual_rtol
+                            * jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+                        )
                     # a failed factorization may carry non-finite factors
                     # (block mode has no Lc_safe analog); zero the direction
                     # so a rejected step can never poison z via 0 * nan
@@ -923,9 +962,9 @@ def make_ip_solver(
                     _, _, delta, _, tries = carry
                     delta_new = jnp.where(
                         tries == 0,
-                        st.dreg,
+                        dreg_eff,
                         jnp.where(
-                            (tries == 1) & (st.dreg < delta_w_floor),
+                            (tries == 1) & (dreg_eff < delta_w_floor),
                             jnp.asarray(delta_w_floor, dtype),
                             jnp.minimum(
                                 jnp.maximum(delta, delta_w_floor) * 10.0,

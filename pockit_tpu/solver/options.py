@@ -48,11 +48,40 @@ class IPOptions:
     # regularization
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
+    # hard lower clamp on the inertia regularization actually factored
+    # (every escalation-ladder try runs at >= delta_w_min). Default 0.
+    # Purpose: float32 inertia detectability. A nonconvex KKT matrix can
+    # carry negative curvature far below the f32 pivot noise floor
+    # (measured on the Goddard singular arc: lambda_min = -7.3e-3 against
+    # lambda_max = 4.1e6, i.e. 1.8e-9 relative — under eps_f32 = 6e-8),
+    # where Cholesky breakdown becomes a backend-dependent coin flip: the
+    # CPU's rounding yields nan (escalating to an adequate delta), the
+    # TPU's yields a clean-looking factorization of the indefinite system
+    # whose directions wreck the run. Residual tests cannot catch this
+    # (the indefinite solve has a SMALL residual; the inertia is what is
+    # wrong). Setting delta_w_min ~ 1e-2 * (typical curvature scale) on
+    # such problems makes every factorization decidable and the solver
+    # backend-deterministic — an LM-damped Newton whose extra iterations
+    # are the honest price of f32. Convex/well-scaled problems (LQR)
+    # should keep 0.
+    delta_w_min: float = 0.0
     delta_c: float = 1e-8  # dual regularization floor for equality rows
     delta_c_scale: float = 0.0  # mu-proportional dual regularization (0 = fixed floor)
     # relative Cholesky pivot threshold: factorization counts as failed when
     # min(diag L) <= chol_pivot_rtol * max(diag L) (catches PSD-singular K)
     chol_pivot_rtol: float = 1e-7
+    # residual acceptance for the Newton solve: reject a factorization
+    # whose (refined) solve leaves ||K dz - rhs|| > rtol * ||rhs|| and
+    # escalate instead. On an exactly singular block the f32 pivot test
+    # is a rounding coin flip — measured on the Goddard singular arc, the
+    # TPU's coin lands "pass" at the delta floor where the CPU's lands
+    # "fail" (same inputs), and the unregularized near-singular solve
+    # poisons the duals for the rest of the run. The residual test makes
+    # acceptance depend on what the solve actually achieved, identically
+    # on every backend. 0 disables. Applied where the factored operator's
+    # matvec is exact: the pallas path, and the block path for problems
+    # with no low-rank discrepancy (krylov_rank == 0).
+    newton_residual_rtol: float = 1e-2
     bound_relax: float = 1e-8  # relax bounds to avoid empty interior
     max_reg_tries: int = 10
     # iterative refinement of the condensed KKT solve (helps float32)

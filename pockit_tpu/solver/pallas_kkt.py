@@ -756,6 +756,7 @@ def make_newton_dir(
     refine_steps: int = 1,
     interpret: bool = False,
     attempts: int = 1,
+    residual_rtol: float = 1e-2,
 ):
     """Build ``(newton_dir, apply_one)`` for the Pallas KKT path.
 
@@ -842,7 +843,10 @@ def make_newton_dir(
     def _schedule(delta, tries, dreg):
         """Inertia-escalation schedule (mirrors solver/ipm.py reg_body).
         Floors are cast to the carry dtype — a stray np.float64 scalar
-        would promote the f32 escalation carry under x64."""
+        would promote the f32 escalation carry under x64. A caller-side
+        ``delta_w_min`` clamp arrives through ``dreg`` (the ladder only
+        ever ascends from the current level, so clamping the entry point
+        covers every rung)."""
         floor = jnp.asarray(delta_w_floor, delta.dtype)
         cap = jnp.asarray(delta_w_max, delta.dtype)
         return jnp.where(
@@ -921,6 +925,23 @@ def make_newton_dir(
                 & jnp.all(jnp.isfinite(dz))
                 & (jnp.linalg.norm(dz) <= step_cap)
             )
+            if residual_rtol:
+                # residual acceptance: on an exactly singular block the
+                # f32 pivot test is a rounding coin flip (backend-
+                # dependent); what the solve actually achieved is not
+                r_fin = rhs - _ba_mv(
+                    K_ii,
+                    K_ir,
+                    K_rr,
+                    jnp.broadcast_to(delta_new, (nb,)),
+                    delta_new,
+                    dz,
+                )
+                ok = ok & (
+                    jnp.linalg.norm(r_fin)
+                    <= residual_rtol
+                    * jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+                )
             dz = jnp.where(ok, dz, 0.0)
             return fac, dz, delta_new, ok, tries + 1
 
@@ -984,6 +1005,21 @@ def make_newton_dir(
                 & jnp.all(jnp.isfinite(dz), axis=1)
                 & (jnp.linalg.norm(dz, axis=1) <= step_cap)
             )
+            if residual_rtol:
+                # residual acceptance against the factored operator (per-
+                # block shifts): a "passed" factorization of a singular
+                # block produces a solve that does not solve — reject it
+                # per lane and let the escalation ladder regularize,
+                # identically on every backend (see options.py
+                # newton_residual_rtol)
+                r_fin = rhs - _ba_mv(
+                    K_ii, K_ir, K_rr, d_blk[:, :-1], d_blk[:, -1], dz
+                )
+                ok = ok & (
+                    jnp.linalg.norm(r_fin, axis=1)
+                    <= residual_rtol
+                    * jnp.maximum(jnp.linalg.norm(rhs, axis=1), 1e-30)
+                )
             dz = jnp.where(ok[:, None], dz, 0.0)
             return fac, dz, ok, d_used
 

@@ -322,3 +322,33 @@ class TestRaggedPallas:
         np.testing.assert_allclose(
             np.asarray(res.obj), ref * bc[:, 0] ** 2, rtol=1e-6
         )
+
+
+class TestDeltaWMin:
+    def test_floor_applies_while_globalizing_and_releases(self):
+        """``delta_w_min`` clamps the factored regularization while theta
+        is above the endgame threshold and releases near feasibility so
+        the tolerance stays reachable (the f32 inertia-detectability
+        floor; BENCH_NOTES r5). Verified on the LQR system through both
+        the pallas and block paths via the recorded delta_w trace."""
+        import numpy as np
+
+        from pockit_tpu.optimizer import ipm
+        from pockit_tpu.solver import IPOptions
+
+        system, guess = _lqr()
+        for solver in ("pallas", "block"):
+            opts = IPOptions(
+                tol=1e-8, max_iter=30, kkt_solver=solver,
+                delta_w_min=1e-3,
+            )
+            val, info = ipm.solve(system, guess, optimizer_options=opts)
+            assert info["status"] == 0
+            trace = np.asarray(info["trace"])  # [kkt, mu, alpha, dw, theta, phi]
+            dw, theta = trace[:, 3], trace[:, 4]
+            # iteration 0 starts infeasible -> the floor must be active
+            assert theta[0] > 1e-4
+            assert dw[0] >= 1e-3 - 1e-12, (solver, dw[0])
+            # converged => the endgame release let kkt reach tolerance
+            # (a permanently clamped delta biases the step and stalls)
+            assert info["kkt_error"] <= 1e-8

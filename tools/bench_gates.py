@@ -144,8 +144,16 @@ GATES = {
 GATE_MU = {"goddard": "mehrotra"}
 # f32 KKT floor on the singular-arc Goddard is ~2-5e-5 (the inertia
 # regularization the singular reduced Hessian forces biases the step);
-# 5e-5 converges every perturbed lane in 6-13 iters, 2e-5 strands ~40%
+# 5e-5 converges every perturbed lane, 2e-5 strands ~40%
 GATE_TOL_F32 = {"goddard": 5e-5}
+# f32 inertia-detectability floors (IPOptions.delta_w_min): both gates
+# carry negative curvature far below the f32 pivot noise band, where
+# Cholesky breakdown is a backend-dependent coin flip — the TPU's
+# rounding accepts indefinite factorizations the CPU's rejects, and the
+# resulting directions wreck the batch (measured: goddard 6.9%%
+# converged on chip at floor 0 vs 100%% at 1e-1; see BENCH_NOTES r5).
+# The floor is released in the endgame so tolerance is still reachable.
+GATE_DWMIN_F32 = {"goddard": 1e-1, "orbit": 3e-3}
 
 
 def run_gate(name, B, n_rep=3):
@@ -171,10 +179,15 @@ def run_gate(name, B, n_rep=3):
     f32 = not jax.config.jax_enable_x64
     tol = GATE_TOL_F32.get(name, 1e-5) if f32 else 1e-7
     mu = GATE_MU.get(name, "monotone") if f32 else "monotone"
+    dwmin = GATE_DWMIN_F32.get(name, 0.0) if f32 else 0.0
     opts_fast = IPOptions(
-        tol=tol, max_iter=first_iters, refine_steps=3, mu_strategy=mu
+        tol=tol, max_iter=first_iters, refine_steps=3, mu_strategy=mu,
+        delta_w_min=dwmin,
     )
-    opts_drain = IPOptions(tol=tol, max_iter=120, refine_steps=3, mu_strategy=mu)
+    opts_drain = IPOptions(
+        tol=tol, max_iter=120, refine_steps=3, mu_strategy=mu,
+        delta_w_min=dwmin,
+    )
 
     def solve_all(bc):
         return ipm.solve_batch_drained(
